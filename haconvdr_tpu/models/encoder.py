@@ -1,0 +1,226 @@
+"""ANCE dual encoder, TPU-first.
+
+Functional JAX re-design of the reference ANCE/BERT dual-encoder models
+(/root/reference/src/models.py:20-110): a RoBERTa-base (or BERT) transformer
+encoder, a 768-d ``embeddingHead`` Linear + LayerNorm projection, and
+first-token (CLS) pooling with an optional masked-mean mode.  The query and
+passage towers share this single encoder (``doc_emb == query_emb``,
+src/models.py:48-49).
+
+Design choices (deliberately not a torch translation):
+  * params are a plain nested-dict pytree -> trivially shardable with
+    jax.sharding.NamedSharding, checkpointable with orbax, and convertible
+    from HF torch checkpoints (see models/hf_import.py);
+  * the whole forward is one jit-compilable pure function with static
+    shapes; attention uses a single fused additive mask;
+  * matmul compute dtype is configurable (bfloat16 on TPU MXU), parameters
+    and LayerNorm statistics stay float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from haconvdr_tpu.config import ModelConfig
+
+EncoderParams = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def _dense_init(key, in_dim, out_dim, std=0.02):
+    kkey, _ = jax.random.split(key)
+    return {
+        "kernel": jax.random.normal(kkey, (in_dim, out_dim), jnp.float32) * std,
+        "bias": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def _ln_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_encoder_params(key: jax.Array, cfg: ModelConfig) -> EncoderParams:
+    """Random init mirroring the reference's normal(0, 0.02) scheme
+    (src/models.py:32-37)."""
+    keys = jax.random.split(key, 8 + 8 * cfg.num_hidden_layers)
+    ki = iter(keys)
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    params: EncoderParams = {
+        "embeddings": {
+            "word_embeddings": jax.random.normal(next(ki), (cfg.vocab_size, H), jnp.float32) * 0.02,
+            "position_embeddings": jax.random.normal(
+                next(ki), (cfg.max_position_embeddings, H), jnp.float32
+            )
+            * 0.02,
+            "token_type_embeddings": jax.random.normal(
+                next(ki), (cfg.type_vocab_size, H), jnp.float32
+            )
+            * 0.02,
+            "layer_norm": _ln_init(H),
+        },
+        "layers": [],
+        "embedding_head": _dense_init(next(ki), H, cfg.embedding_dim),
+        "norm": _ln_init(cfg.embedding_dim),
+    }
+    for _ in range(cfg.num_hidden_layers):
+        layer = {
+            "attention": {
+                "query": _dense_init(next(ki), H, H),
+                "key": _dense_init(next(ki), H, H),
+                "value": _dense_init(next(ki), H, H),
+                "output": _dense_init(next(ki), H, H),
+                "output_layer_norm": _ln_init(H),
+            },
+            "intermediate": _dense_init(next(ki), H, I),
+            "output": _dense_init(next(ki), I, H),
+            "output_layer_norm": _ln_init(H),
+        }
+        params["layers"].append(layer)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x: jax.Array, p: Dict[str, jax.Array], eps: float) -> jax.Array:
+    # normalize in >= float32 (float64 params promote for parity testing)
+    x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"] + p["bias"]
+
+
+def _acc_dtype(dtype):
+    # accumulate in f32 on the MXU; promote to f64 only for parity testing
+    return jnp.promote_types(dtype, jnp.float32)
+
+
+def _dense(x: jax.Array, p: Dict[str, jax.Array], dtype) -> jax.Array:
+    y = jnp.dot(
+        x.astype(dtype), p["kernel"].astype(dtype), preferred_element_type=_acc_dtype(dtype)
+    )
+    return y + p["bias"]
+
+
+def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
+    """RoBERTa-style position ids: pads get ``pad_token_id``; real tokens get
+    ``pad_token_id + running index`` (matches HF
+    create_position_ids_from_input_ids, needed for ANCE weight parity)."""
+    mask = (input_ids != pad_token_id).astype(jnp.int32)
+    incremental = jnp.cumsum(mask, axis=-1) * mask
+    return incremental + pad_token_id
+
+
+def _attention(x, mask_bias, p, num_heads, dtype):
+    B, L, H = x.shape
+    d = H // num_heads
+
+    def split_heads(t):
+        return t.reshape(B, L, num_heads, d).transpose(0, 2, 1, 3)
+
+    q = split_heads(_dense(x, p["query"], dtype))
+    k = split_heads(_dense(x, p["key"], dtype))
+    v = split_heads(_dense(x, p["value"], dtype))
+
+    acc = _acc_dtype(dtype)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype), preferred_element_type=acc
+    ) / math.sqrt(d)
+    scores = scores + mask_bias  # [B, 1, 1, L] additive
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(dtype), v.astype(dtype), preferred_element_type=acc
+    )
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
+    return _dense(ctx, p["output"], dtype)
+
+
+def encoder_hidden_states(
+    params: EncoderParams,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+) -> jax.Array:
+    """Transformer stack -> last_hidden_state [B, L, H]."""
+    dtype = jnp.dtype(cfg.dtype)
+    emb = params["embeddings"]
+    if cfg.model_type.upper().startswith("BERT"):
+        position_ids = jnp.arange(input_ids.shape[1])[None, :]
+    else:
+        position_ids = roberta_position_ids(input_ids, cfg.pad_token_id)
+
+    x = (
+        emb["word_embeddings"][input_ids]
+        + emb["position_embeddings"][position_ids]
+        + emb["token_type_embeddings"][jnp.zeros_like(input_ids)]
+    )
+    x = _layer_norm(x, emb["layer_norm"], cfg.layer_norm_eps)
+
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+
+    for layer in params["layers"]:
+        attn_out = _attention(x, mask_bias, layer["attention"], cfg.num_attention_heads, dtype)
+        x = _layer_norm(x + attn_out, layer["attention"]["output_layer_norm"], cfg.layer_norm_eps)
+        inter = jax.nn.gelu(_dense(x, layer["intermediate"], dtype), approximate=False)
+        out = _dense(inter, layer["output"], dtype)
+        x = _layer_norm(x + out, layer["output_layer_norm"], cfg.layer_norm_eps)
+    return x
+
+
+def encode(
+    params: EncoderParams,
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    use_mean: bool = False,
+) -> jax.Array:
+    """Full ANCE embedding: encoder -> pooling -> embeddingHead -> LayerNorm.
+
+    Mirrors ANCE.query_emb (src/models.py:39-45): pooling is first-token
+    (CLS) by default, masked mean when ``use_mean`` (src/models.py:52-61);
+    ``doc_emb`` is identical (src/models.py:48-49).
+    Returns [B, embedding_dim] float32.
+    """
+    hidden = encoder_hidden_states(params, cfg, input_ids, attention_mask)
+    if use_mean:
+        m = attention_mask.astype(jnp.float32)[:, :, None]
+        pooled = jnp.sum(hidden * m, axis=1) / jnp.sum(m, axis=1)
+    else:
+        pooled = hidden[:, 0]
+    proj = _dense(pooled, params["embedding_head"], jnp.dtype(cfg.dtype))
+    return _layer_norm(proj, params["norm"], 1e-5)
+
+
+class AnceEncoder:
+    """Thin object wrapper bundling (params, config) with jitted methods.
+
+    The compute path stays functional; this class only provides ergonomic
+    ``query_emb`` / ``doc_emb`` entry points equivalent to the reference
+    module API (src/models.py:39-64).
+    """
+
+    def __init__(self, params: EncoderParams, cfg: ModelConfig):
+        self.params = params
+        self.cfg = cfg
+        self._encode = jax.jit(
+            lambda p, ids, mask: encode(p, cfg, ids, mask), donate_argnums=()
+        )
+
+    def query_emb(self, input_ids, attention_mask) -> np.ndarray:
+        return np.asarray(self._encode(self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask)))
+
+    # shared tower: doc_emb == query_emb (src/models.py:48-49)
+    doc_emb = query_emb
+
+    def __call__(self, input_ids, attention_mask):
+        return self.query_emb(input_ids, attention_mask)
