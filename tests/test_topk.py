@@ -1,0 +1,99 @@
+"""Blocked top-k search vs full-matrix oracle, merge semantics, dedup."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from haconvdr_tpu.ops.topk import (
+    BlockSearcher,
+    exact_topk_oracle,
+    merge_topk,
+    topk_block,
+)
+from haconvdr_tpu.eval.trec import dedup_ranked_candidates
+
+
+def _data(rng, q=7, n=1000, d=16):
+    queries = rng.randn(q, d).astype(np.float32)
+    passages = rng.randn(n, d).astype(np.float32)
+    return queries, passages
+
+
+def test_topk_block_matches_oracle(rng):
+    queries, passages = _data(rng)
+    k = 10
+    ref_s, ref_i = exact_topk_oracle(jnp.asarray(queries), jnp.asarray(passages), k)
+    # pad to chunk multiple
+    chunk = 128
+    n = passages.shape[0]
+    pad = (-n) % chunk
+    padded = np.concatenate([passages, np.zeros((pad, passages.shape[1]), np.float32)])
+    s, i = topk_block(jnp.asarray(queries), jnp.asarray(padded), jnp.int32(n), k, chunk)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_topk_block_k_larger_than_chunk(rng):
+    queries, passages = _data(rng, q=3, n=64, d=8)
+    k = 20
+    chunk = 16
+    ref_s, ref_i = exact_topk_oracle(jnp.asarray(queries), jnp.asarray(passages), k)
+    s, i = topk_block(jnp.asarray(queries), jnp.asarray(passages), jnp.int32(64), k, chunk)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_merge_topk_prefers_earlier_on_ties():
+    # reference 2-pointer merge keeps the earlier block's entry on equal
+    # scores (src/test_HAConvDR_topiocqa.py:137)
+    sa = jnp.asarray([[5.0, 3.0]])
+    ia = jnp.asarray([[10, 11]], dtype=jnp.int32)
+    sb = jnp.asarray([[5.0, 4.0]])
+    ib = jnp.asarray([[20, 21]], dtype=jnp.int32)
+    s, i = merge_topk(sa, ia, sb, ib, 3)
+    np.testing.assert_allclose(np.asarray(s[0]), [5.0, 5.0, 4.0])
+    assert list(np.asarray(i[0])) == [10, 20, 21]
+
+
+def test_block_searcher_multi_block_equals_oracle(rng):
+    queries, passages = _data(rng, q=5, n=703, d=12)
+    ids = rng.permutation(10_000)[:703].astype(np.int64)
+    k = 25
+    searcher = BlockSearcher(top_k=k, passage_chunk=64, query_chunk=3)
+    blocks = [
+        (passages[:300], ids[:300]),
+        (passages[300:500], ids[300:500]),
+        (passages[500:], ids[500:]),
+    ]
+    s, got_ids = searcher.search(queries, blocks)
+
+    ref_s, ref_i = exact_topk_oracle(jnp.asarray(queries), jnp.asarray(passages), k)
+    np.testing.assert_allclose(s, np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got_ids, ids[np.asarray(ref_i)])
+
+
+def test_block_searcher_bf16_recall(rng):
+    """bf16 scoring must keep top-k recall high (ordering may differ)."""
+    queries, passages = _data(rng, q=8, n=2048, d=32)
+    k = 50
+    f32 = BlockSearcher(top_k=k, passage_chunk=256)
+    b16 = BlockSearcher(top_k=k, passage_chunk=256, compute_dtype="bfloat16")
+    ids = np.arange(2048, dtype=np.int64)
+    _, ids32 = f32.search(queries, [(passages, ids)])
+    _, ids16 = b16.search(queries, [(passages, ids)])
+    recalls = [
+        len(set(ids32[i]) & set(ids16[i])) / k for i in range(queries.shape[0])
+    ]
+    assert min(recalls) >= 0.9, recalls
+
+
+def test_dedup_ranked_candidates():
+    # mirrors output_test_res dedup (src/test_HAConvDR_topiocqa.py:249-255):
+    # offsets mapping to the same pid collapse, placeholder (0,0) fills tail
+    offset2pid = [100, 100, 200, 300]
+    scores = np.asarray([[9.0, 8.0, 7.0, 6.0]])
+    offsets = np.asarray([[0, 1, 2, 3]])
+    out = dedup_ranked_candidates(["q1"], scores, offsets, offset2pid, top_n=4)
+    assert out["q1"][0] == (100, 9.0)
+    assert out["q1"][1] == (200, 7.0)
+    assert out["q1"][2] == (300, 6.0)
+    assert out["q1"][3] == (0, 0.0)
