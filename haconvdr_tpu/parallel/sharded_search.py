@@ -1,0 +1,123 @@
+"""Cross-device sharded exact top-k search.
+
+TPU-native replacement for faiss's GPU index sharding
+(``GpuMultipleClonerOptions.shard = True``,
+src/test_HAConvDR_topiocqa.py:55-66): the passage-embedding matrix is
+sharded along the passage axis across every device of the mesh; each
+device runs the blocked streaming top-k over its resident shard
+(ops/topk.py) and the per-shard candidate lists are merged ON DEVICE with
+an ``all_gather`` + ``lax.top_k`` — replacing both faiss's internal
+cross-GPU reduction and the reference's host 2-pointer block merge
+(":131-149").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from haconvdr_tpu.ops.topk import topk_block
+
+
+def _flat_mesh(mesh: Mesh) -> Mesh:
+    """View an N-d mesh as one linear 'd' axis for passage sharding."""
+    return Mesh(mesh.devices.reshape(-1), ("d",))
+
+
+def sharded_topk(
+    mesh: Mesh,
+    queries: jax.Array,  # [Q, D] replicated
+    passages: jax.Array,  # [Ntot, D] sharded on axis 0 over the flat mesh
+    n_valid: int,  # true passage count before padding
+    k: int,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Replicated ([Q, k] scores, [Q, k] global offsets) over all shards."""
+    fmesh = _flat_mesh(mesh)
+    n_shards = fmesh.devices.size
+    Ntot = passages.shape[0]
+    assert Ntot % n_shards == 0, "pad the passage axis to the shard count"
+    shard_rows = Ntot // n_shards
+
+    def local_search(q, p_shard):
+        shard_id = jax.lax.axis_index("d")
+        base = shard_id * shard_rows
+        # valid rows in this shard given global n_valid
+        local_valid = jnp.clip(n_valid - base, 0, shard_rows)
+        s, i = topk_block(q, p_shard, local_valid.astype(jnp.int32), k, chunk)
+        gi = jnp.where(i >= 0, i + base, -1)
+        # gather every shard's candidates and reduce on device
+        sg = jax.lax.all_gather(s, "d")  # [n_shards, Q, k]
+        ig = jax.lax.all_gather(gi, "d")
+        sg = jnp.moveaxis(sg, 0, 1).reshape(q.shape[0], n_shards * k)
+        ig = jnp.moveaxis(ig, 0, 1).reshape(q.shape[0], n_shards * k)
+        best_s, pos = jax.lax.top_k(sg, k)
+        best_i = jnp.take_along_axis(ig, pos, axis=1)
+        return best_s, best_i
+
+    fn = jax.shard_map(
+        local_search,
+        mesh=fmesh,
+        in_specs=(P(), P("d", None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, passages)
+
+
+class ShardedIndex:
+    """An HBM-resident, device-sharded flat inner-product index.
+
+    Equivalent of ``build_faiss_index`` + ``index.add`` for one resident
+    block set (src/test_HAConvDR_topiocqa.py:39-71,98): embeddings are
+    placed shard-by-shard across the mesh once, then searched many times.
+    For corpora larger than total HBM, callers hold several ShardedIndex
+    blocks and merge results via ops.topk.merge_topk (the BlockSearcher
+    pattern), or use a bfloat16 ``store_dtype``.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        embeddings: np.ndarray,  # [N, D]
+        ids: Optional[np.ndarray] = None,  # [N] global offsets/pids
+        chunk: int = 65536,
+        dtype: str = "float32",
+    ):
+        self.mesh = mesh
+        fmesh = _flat_mesh(mesh)
+        n_shards = fmesh.devices.size
+        self.n_valid = embeddings.shape[0]
+        rows = -(-self.n_valid // n_shards) * n_shards
+        # per-shard chunk granularity: pad shard rows to chunk multiple
+        shard_rows = rows // n_shards
+        shard_rows = -(-shard_rows // chunk) * chunk
+        rows = shard_rows * n_shards
+        if rows != embeddings.shape[0]:
+            pad = np.zeros((rows - self.n_valid, embeddings.shape[1]), embeddings.dtype)
+            embeddings = np.concatenate([embeddings, pad], axis=0)
+        self.chunk = chunk
+        sharding = NamedSharding(fmesh, P("d", None))
+        self.passages = jax.device_put(
+            jnp.asarray(embeddings, jnp.dtype(dtype)), sharding
+        )
+        self.ids = None if ids is None else np.asarray(ids)
+        self._search = functools.partial(
+            sharded_topk, self.mesh, n_valid=self.n_valid, chunk=self.chunk
+        )
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (scores [Q, k], ids [Q, k]).  ``ids`` are global ids when
+        an id array was provided, else raw row offsets."""
+        q = jnp.asarray(queries, self.passages.dtype)
+        s, i = self._search(queries=q, passages=self.passages, k=k)
+        s, i = np.asarray(s), np.asarray(i)
+        if self.ids is not None:
+            safe = np.clip(i, 0, self.n_valid - 1)
+            i = np.where(i >= 0, self.ids[safe], -1)
+        return s, i

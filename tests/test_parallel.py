@@ -1,0 +1,69 @@
+"""Sharded search/encode on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from haconvdr_tpu.config import ModelConfig
+from haconvdr_tpu.models.encoder import encode, init_encoder_params
+from haconvdr_tpu.ops.topk import exact_topk_oracle
+from haconvdr_tpu.parallel.mesh import make_mesh
+from haconvdr_tpu.parallel.sharded_encode import (
+    make_sharded_encode_fn,
+    shard_params,
+)
+from haconvdr_tpu.parallel.sharded_search import ShardedIndex
+
+
+def test_sharded_index_matches_oracle(rng):
+    mesh = make_mesh()  # 8 devices -> dp=8, tp=1
+    n, d, q, k = 1111, 16, 6, 17
+    passages = rng.randn(n, d).astype(np.float32)
+    queries = rng.randn(q, d).astype(np.float32)
+    index = ShardedIndex(mesh, passages, chunk=64)
+    s, i = index.search(queries, k)
+    ref_s, ref_i = exact_topk_oracle(jnp.asarray(queries), jnp.asarray(passages), k)
+    np.testing.assert_allclose(s, np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i, np.asarray(ref_i))
+
+
+def test_sharded_index_with_id_mapping(rng):
+    mesh = make_mesh()
+    n, d = 300, 8
+    passages = rng.randn(n, d).astype(np.float32)
+    ids = (np.arange(n) * 7 + 3).astype(np.int64)
+    queries = rng.randn(4, d).astype(np.float32)
+    index = ShardedIndex(mesh, passages, ids=ids, chunk=32)
+    s, got = index.search(queries, 9)
+    _, ref_i = exact_topk_oracle(jnp.asarray(queries), jnp.asarray(passages), 9)
+    np.testing.assert_array_equal(got, ids[np.asarray(ref_i)])
+
+
+def test_dp_sharded_encode_matches_single_device(rng):
+    cfg = ModelConfig.tiny()
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=8, tp=1)
+    B, L = 16, 10
+    ids = rng.randint(4, cfg.vocab_size, size=(B, L)).astype(np.int32)
+    mask = np.ones((B, L), np.int32)
+
+    fn = make_sharded_encode_fn(mesh, cfg)
+    sharded = np.asarray(fn(shard_params(mesh, params), jnp.asarray(ids), jnp.asarray(mask)))
+    single = np.asarray(encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_sharded_encode_matches_single_device(rng):
+    cfg = ModelConfig.tiny()
+    params = init_encoder_params(jax.random.PRNGKey(1), cfg)
+    mesh = make_mesh(dp=2, tp=4)
+    B, L = 4, 8
+    ids = rng.randint(4, cfg.vocab_size, size=(B, L)).astype(np.int32)
+    mask = np.ones((B, L), np.int32)
+
+    fn = make_sharded_encode_fn(mesh, cfg, tp=True)
+    out = np.asarray(
+        fn(shard_params(mesh, params, tp=True), jnp.asarray(ids), jnp.asarray(mask))
+    )
+    single = np.asarray(encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-4)
