@@ -1,0 +1,263 @@
+"""Training-layer tests: loss parity vs a torch re-derivation of the
+reference formulas, optimizer schedule, accumulation semantics, and a
+smoke fit showing loss decreases with frozen passage tower."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from haconvdr_tpu.config import ModelConfig, TrainConfig
+from haconvdr_tpu.models.encoder import encode, init_encoder_params
+from haconvdr_tpu.parallel.mesh import make_mesh
+from haconvdr_tpu.train.loss import kd_loss, ranking_loss, ranking_loss_prepos
+from haconvdr_tpu.train.trainer import (
+    Trainer,
+    init_train_state,
+    linear_warmup_decay_schedule,
+    make_optimizer,
+    make_train_step,
+    _no_decay_mask,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def _embs(rng, b=6, d=8):
+    return rng.randn(b, d).astype(np.float32)
+
+
+def _torch_ranking_loss_prepos(q, pos, bm25, pseudo=None, prepos=None, alpha=1.0):
+    """Literal torch re-derivation of cal_ranking_loss_prepos
+    (src/train_HAConvDR_topiocqa.py:60-75) for parity checking."""
+    q, pos, bm25 = map(torch.from_numpy, (q, pos, bm25))
+    score = q @ pos.T
+    if pseudo is not None:
+        score = score + alpha * (q @ torch.from_numpy(pseudo).T)
+    neg = (q * bm25).sum(dim=1, keepdim=True)
+    score = torch.cat([score, neg], dim=1)
+    if prepos is not None:
+        pn = (q * torch.from_numpy(prepos)).sum(dim=1, keepdim=True)
+        score = torch.cat([score, pn], dim=1)
+    labels = torch.arange(q.shape[0])
+    return float(torch.nn.functional.cross_entropy(score, labels))
+
+
+def test_ranking_loss_prepos_matches_torch(rng):
+    q, pos, bm25, pseudo, prepos = (_embs(rng) for _ in range(5))
+    ours = float(
+        ranking_loss_prepos(
+            jnp.asarray(q), jnp.asarray(pos), jnp.asarray(bm25),
+            jnp.asarray(pseudo), jnp.asarray(prepos),
+            has_pseudo=jnp.ones(6, jnp.int32), has_prepos_neg=jnp.ones(6, jnp.int32),
+            alpha=0.7,
+        )
+    )
+    ref = _torch_ranking_loss_prepos(q, pos, bm25, pseudo, prepos, alpha=0.7)
+    assert abs(ours - ref) < 1e-5
+
+
+def test_ranking_loss_prepos_without_extras(rng):
+    q, pos, bm25 = (_embs(rng) for _ in range(3))
+    ours = float(
+        ranking_loss_prepos(
+            jnp.asarray(q), jnp.asarray(pos), jnp.asarray(bm25),
+            is_pseudo_prepos=False, is_prepos_neg=False,
+        )
+    )
+    ref = _torch_ranking_loss_prepos(q, pos, bm25)
+    assert abs(ours - ref) < 1e-5
+
+
+def test_ranking_loss_matches_torch(rng):
+    q, pos, neg = (_embs(rng) for _ in range(3))
+    ours = float(ranking_loss(jnp.asarray(q), jnp.asarray(pos), jnp.asarray(neg)))
+    qt, post, negt = map(torch.from_numpy, (q, pos, neg))
+    score = torch.cat([qt @ post.T, (qt * negt).sum(1, keepdim=True)], dim=1)
+    ref = float(
+        torch.nn.functional.cross_entropy(score, torch.arange(6))
+    )  # src/train_HAConvDR_topiocqa.py:47-58
+    assert abs(ours - ref) < 1e-5
+
+
+def test_valid_row_masking(rng):
+    """Padded rows must not contribute to the loss nor serve as negatives."""
+    q, pos, bm25 = (_embs(rng, b=4) for _ in range(3))
+    full = float(
+        ranking_loss_prepos(
+            jnp.asarray(q[:3]), jnp.asarray(pos[:3]), jnp.asarray(bm25[:3]),
+            is_pseudo_prepos=False, is_prepos_neg=False,
+        )
+    )
+    padded = float(
+        ranking_loss_prepos(
+            jnp.asarray(q), jnp.asarray(pos), jnp.asarray(bm25),
+            is_pseudo_prepos=False, is_prepos_neg=False,
+            valid=jnp.asarray([1, 1, 1, 0]),
+        )
+    )
+    assert abs(full - padded) < 1e-5
+
+
+def test_kd_loss(rng):
+    a, b = _embs(rng), _embs(rng)
+    assert abs(float(kd_loss(jnp.asarray(a), jnp.asarray(b))) - np.mean((a - b) ** 2)) < 1e-6
+
+
+def test_linear_schedule():
+    s = linear_warmup_decay_schedule(1.0, 10, 100)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(5)) - 0.5) < 1e-6
+    assert abs(float(s(10)) - 1.0) < 1e-6
+    assert abs(float(s(55)) - 0.5) < 1e-6
+    assert float(s(100)) == 0.0
+
+
+def test_no_decay_mask():
+    cfg = ModelConfig.tiny()
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    mask = _no_decay_mask(params)
+    assert mask["embeddings"]["word_embeddings"] is True
+    assert mask["embeddings"]["layer_norm"]["scale"] is False
+    assert mask["layers"][0]["attention"]["query"]["kernel"] is True
+    assert mask["layers"][0]["attention"]["query"]["bias"] is False
+    assert mask["norm"]["scale"] is False
+
+
+def _tiny_batch(rng, cfg, B=8, L=6, DL=5):
+    def toks(n, l):
+        ids = rng.randint(4, cfg.vocab_size, size=(n, l)).astype(np.int32)
+        return ids, np.ones((n, l), np.int32)
+
+    q, qm = toks(B, L)
+    p, pm = toks(B, DL)
+    n, nm = toks(B, DL)
+    return {
+        "conv_qp": q, "conv_qp_mask": qm,
+        "pos_docs": p, "pos_docs_mask": pm,
+        "neg_docs": n, "neg_docs_mask": nm,
+        "valid": np.ones(B, np.int32),
+    }
+
+
+def test_train_step_decreases_loss_and_freezes_passage_tower(rng):
+    mesh = make_mesh(dp=8)
+    mcfg = ModelConfig.tiny()
+    tcfg = TrainConfig(
+        accumulation_steps=1, learning_rate=5e-3, num_warmup_portion=0.0,
+        is_pseudo_prepos=False, is_prepos_neg=False,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(0), mcfg)
+    frozen = init_encoder_params(jax.random.PRNGKey(1), mcfg)
+    frozen_before = jax.tree_util.tree_map(np.asarray, frozen)
+
+    opt = make_optimizer(tcfg, total_steps=100)
+    step = make_train_step(mesh, mcfg, tcfg, opt)
+    state = init_train_state(params, opt)
+
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch(rng, mcfg).items()}
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, frozen, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # frozen tower untouched
+    for a, b in zip(
+        jax.tree_util.tree_leaves(frozen_before), jax.tree_util.tree_leaves(frozen)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accumulation_matches_large_batch(rng):
+    """K micro-steps with accumulation == one K-times-larger batch step
+    (sum-gradient semantics; CE means over rows, so compare against the
+    mean of per-micro losses by scaling)."""
+    mesh = make_mesh(dp=8)
+    mcfg = ModelConfig.tiny()
+    params = init_encoder_params(jax.random.PRNGKey(0), mcfg)
+    frozen = init_encoder_params(jax.random.PRNGKey(1), mcfg)
+
+    batch = _tiny_batch(rng, mcfg, B=16)
+    half0 = {k: v[:8] if v.ndim else v for k, v in batch.items()}
+    half1 = {k: v[8:] if v.ndim else v for k, v in batch.items()}
+
+    tcfg_acc = TrainConfig(
+        accumulation_steps=2, learning_rate=1e-3, num_warmup_portion=0.0,
+        is_pseudo_prepos=False, is_prepos_neg=False, max_grad_norm=1e9,
+        weight_decay=0.0,
+    )
+    opt = make_optimizer(tcfg_acc, total_steps=100)
+    step = make_train_step(mesh, mcfg, tcfg_acc, opt)
+    state = init_train_state(params, opt)
+    state, _ = step(state, frozen, {k: jnp.asarray(v) for k, v in half0.items()})
+    assert int(state.micro_step) == 1
+    assert int(state.global_step) == 0
+    state, _ = step(state, frozen, {k: jnp.asarray(v) for k, v in half1.items()})
+    assert int(state.micro_step) == 0
+    assert int(state.global_step) == 1
+
+    # reference point: gradients of (loss(half0)+loss(half1)) in one go
+    from haconvdr_tpu.train.trainer import make_train_step as mts
+
+    tcfg_one = TrainConfig(
+        accumulation_steps=1, learning_rate=1e-3, num_warmup_portion=0.0,
+        is_pseudo_prepos=False, is_prepos_neg=False, max_grad_norm=1e9,
+        weight_decay=0.0,
+    )
+
+    def loss_of(p, b):
+        from haconvdr_tpu.train.loss import ranking_loss_prepos
+        from haconvdr_tpu.models.encoder import encode as enc
+
+        q = enc(p, mcfg, jnp.asarray(b["conv_qp"]), jnp.asarray(b["conv_qp_mask"]))
+        pos = enc(frozen, mcfg, jnp.asarray(b["pos_docs"]), jnp.asarray(b["pos_docs_mask"]))
+        neg = enc(frozen, mcfg, jnp.asarray(b["neg_docs"]), jnp.asarray(b["neg_docs_mask"]))
+        return ranking_loss_prepos(
+            q, pos, neg, is_pseudo_prepos=False, is_prepos_neg=False
+        )
+
+    summed = jax.grad(lambda p: loss_of(p, half0) + loss_of(p, half1))(params)
+    opt1 = make_optimizer(tcfg_one, total_steps=100)
+    st1 = init_train_state(params, opt1)
+    updates, _ = opt1.update(summed, st1.opt_state, params)
+    expect = np.asarray(
+        jax.tree_util.tree_leaves(
+            __import__("optax").apply_updates(params, updates)
+        )[0]
+    )
+    got = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-6)
+
+
+def test_trainer_fit_smoke(rng):
+    mesh = make_mesh(dp=8)
+    mcfg = ModelConfig.tiny()
+    tcfg = TrainConfig(
+        num_train_epochs=2, per_device_train_batch_size=1,
+        accumulation_steps=2, learning_rate=1e-3,
+        is_pseudo_prepos=False, is_prepos_neg=False, print_steps=0,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(0), mcfg)
+    frozen = init_encoder_params(jax.random.PRNGKey(1), mcfg)
+    examples = []
+    for i in range(16):
+        ids = rng.randint(4, mcfg.vocab_size, size=6).tolist()
+        doc = rng.randint(4, mcfg.vocab_size, size=5).tolist()
+        neg = rng.randint(4, mcfg.vocab_size, size=5).tolist()
+        examples.append(
+            {
+                "sample_id": f"s{i}",
+                "conv_qp": ids, "conv_qp_mask": [1] * 6,
+                "pos_docs": doc, "pos_docs_mask": [1] * 5,
+                "neg_docs": neg, "neg_docs_mask": [1] * 5,
+            }
+        )
+    saves = []
+    trainer = Trainer(
+        mesh, mcfg, tcfg, save_fn=lambda p, s: saves.append(s)
+    )
+    state, best = trainer.fit(params, frozen, examples)
+    assert np.isfinite(best)
+    assert len(saves) >= 1
+    assert int(state.global_step) >= 1
