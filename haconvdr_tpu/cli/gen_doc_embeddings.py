@@ -1,0 +1,44 @@
+"""CLI: encode the tokenized collection into embedding blocks
+(reference gen_doc_embeddings.py), streaming through the TPU mesh.
+
+Usage: python -m haconvdr_tpu.cli.gen_doc_embeddings --config cfg.toml
+"""
+
+import logging
+
+from haconvdr_tpu.config import config_from_argv
+from haconvdr_tpu.index.build import encode_corpus
+from haconvdr_tpu.index.store import TokenizedCorpus
+from haconvdr_tpu.models.hf_import import load_hf_checkpoint
+from haconvdr_tpu.parallel.mesh import make_mesh
+from haconvdr_tpu.parallel.sharded_encode import make_sharded_encode_fn, shard_params
+from haconvdr_tpu.utils.io import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    setup_logging()
+    cfg = config_from_argv(argv)
+    corpus = TokenizedCorpus(cfg.index.tokenized_dir or cfg.index.data_output_path)
+    params, model_cfg = load_hf_checkpoint(
+        cfg.model.pretrained_encoder_path, cfg.model.model_type
+    )
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    encode_fn = make_sharded_encode_fn(mesh, model_cfg)
+    params = shard_params(mesh, params)
+    store = encode_corpus(
+        corpus,
+        encode_fn,
+        params,
+        cfg.index.data_output_path,
+        batch_size=cfg.index.per_device_eval_batch_size * n_dev,
+        per_block_passage_num=cfg.index.per_block_passage_num,
+        store_dtype=cfg.index.store_dtype,
+    )
+    logger.info("embedding blocks written: %d", store.num_blocks())
+
+
+if __name__ == "__main__":
+    main()

@@ -187,6 +187,9 @@ def encode_corpus(
 
     store = EmbeddingBlockStore(out_dir, fmt=fmt)
     dtype = np.dtype(store_dtype) if store_dtype != "bfloat16" else None
+    # whole batches per block, matching the reference's block_size
+    # accounting (gen_doc_embeddings.py:87-88: block_size = expect // batch)
+    block_rows = max(per_block_passage_num // batch_size, 1) * batch_size
 
     emb_buf: List[np.ndarray] = []
     id_buf: List[np.ndarray] = []
@@ -224,7 +227,7 @@ def encode_corpus(
         emb_buf.append(emb)
         id_buf.append(np.asarray(offsets, np.int64))
         buffered += n
-        if buffered >= per_block_passage_num:
+        if buffered >= block_rows:
             flush()
     flush()
     logger.info("encoded %d passages total", total)

@@ -1,0 +1,191 @@
+"""End-to-end retrieval evaluation orchestration (the reference's
+test_HAConvDR_* / test_PRJ_* main flows, SURVEY.md SS3.2/SS3.4).
+
+Pipeline: build test examples -> encode queries on the mesh -> blocked /
+sharded exact top-k over the embedding store -> offset->pid dedup -> TREC
+run + metrics.  PRJ labeling runs the same machinery over probe queries
+and applies the MRR-diff judge.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from haconvdr_tpu.config import ExperimentConfig
+from haconvdr_tpu.data.loader import batch_iter
+from haconvdr_tpu.eval.metrics import evaluate_run
+from haconvdr_tpu.eval.trec import (
+    dedup_ranked_candidates,
+    print_trec_res,
+    read_qrels,
+    write_run,
+)
+from haconvdr_tpu.index.store import EmbeddingBlockStore
+from haconvdr_tpu.mine.prj import improve_judge, judge_stats, rel_label_records
+from haconvdr_tpu.ops.topk import BlockSearcher
+from haconvdr_tpu.parallel.mesh import make_mesh
+from haconvdr_tpu.parallel.sharded_encode import (
+    encode_batches,
+    make_sharded_encode_fn,
+    shard_params,
+)
+from haconvdr_tpu.utils.io import pload
+
+logger = logging.getLogger(__name__)
+
+
+def build_test_examples(cfg: ExperimentConfig, tokenizer) -> List[dict]:
+    d = cfg.data
+    if d.dataset == "topiocqa":
+        from haconvdr_tpu.data.topiocqa import build_topiocqa_test_examples
+
+        return build_topiocqa_test_examples(d, tokenizer, d.test_file_path)
+    if d.dataset == "qrecc":
+        from haconvdr_tpu.data.qrecc import build_qrecc_examples
+
+        return build_qrecc_examples(d, tokenizer, d.test_file_path)
+    if d.dataset == "cast":
+        from haconvdr_tpu.data.cast import build_cast_test_examples
+
+        return build_cast_test_examples(d, tokenizer, d.test_file_path)
+    raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
+_QUERY_KEY = {
+    "raw": "raw_query",
+    "rewrite": "rewrite",
+    "convq": "conv_q",
+    "convqa": "conv_qa",
+    "convqp": "conv_qp",
+    "pair": "pair_query",
+}
+
+
+def get_test_query_embeddings(
+    cfg: ExperimentConfig, params, mesh=None, examples: Optional[List[dict]] = None,
+    tokenizer=None, query_key: Optional[str] = None,
+) -> Tuple[np.ndarray, List[str]]:
+    """Encode test queries on the mesh (reference get_test_query_embedding,
+    src/test_HAConvDR_topiocqa.py:165-219)."""
+    mesh = mesh or make_mesh()
+    if examples is None:
+        examples = build_test_examples(cfg, tokenizer)
+    key = query_key or _QUERY_KEY[cfg.search.test_type]
+    n_dev = int(np.prod(mesh.devices.shape))
+    batch_size = cfg.search.per_device_test_batch_size * n_dev
+    fn = make_sharded_encode_fn(mesh, cfg.model)
+    sharded = shard_params(mesh, params)
+    embs, ids = encode_batches(
+        fn, sharded,
+        batch_iter(examples, batch_size, shuffle=False),
+        mesh, key, f"{key}_mask",
+    )
+    return embs, ids
+
+
+def search_embedding_store(
+    cfg: ExperimentConfig,
+    query_embs: np.ndarray,
+    store: Optional[EmbeddingBlockStore] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Blocked search over the on-disk embedding store with on-device merge
+    (reference search_one_by_one_with_faiss,
+    src/test_HAConvDR_topiocqa.py:74-162), logging per-block latency
+    (":101-108")."""
+    s = cfg.search
+    store = store or EmbeddingBlockStore.open_auto(s.passage_embeddings_dir_path)
+    searcher = BlockSearcher(
+        top_k=s.top_k, passage_chunk=s.passage_chunk, query_chunk=s.query_chunk
+    )
+
+    def timed_blocks():
+        for b, (emb, ids) in enumerate(store.iter_blocks(s.passage_block_num)):
+            t0 = time.time()
+            yield emb, ids
+            logger.info(
+                {"block": b, "time cost": time.time() - t0,
+                 "query num": query_embs.shape[0],
+                 "time cost per query": (time.time() - t0) / max(1, query_embs.shape[0])}
+            )
+
+    return searcher.search(query_embs, timed_blocks())
+
+
+def gen_metric_score_and_save(
+    cfg: ExperimentConfig,
+    query_embs: np.ndarray,
+    query_ids: Sequence[str],
+    store: Optional[EmbeddingBlockStore] = None,
+    offset2pid: Optional[List[int]] = None,
+) -> Dict[str, float]:
+    """Search + dedup + TREC output + metrics
+    (src/test_HAConvDR_topiocqa.py:355-372)."""
+    import os
+
+    s = cfg.search
+    scores, offsets = search_embedding_store(cfg, query_embs, store)
+    if offset2pid is None and s.passage_offset2pid_path:
+        offset2pid = pload(s.passage_offset2pid_path)
+    ranked = dedup_ranked_candidates(query_ids, scores, offsets, offset2pid, s.top_k)
+    os.makedirs(s.qrel_output_path, exist_ok=True)
+    out_file = os.path.join(s.qrel_output_path, s.output_trec_file)
+    write_run(ranked, out_file)
+    if s.trec_gold_qrel_file_path:
+        return print_trec_res(out_file, s.trec_gold_qrel_file_path, s.rel_threshold)
+    return {}
+
+
+def run_prj_labeling(
+    cfg: ExperimentConfig,
+    params,
+    probe_records: List[dict],
+    probe_qrel_file: str,
+    tokenizer,
+    mesh=None,
+    qrel_ids: Optional[set] = None,
+    store: Optional[EmbeddingBlockStore] = None,
+    offset2pid: Optional[List[int]] = None,
+) -> Dict[str, List[int]]:
+    """Probe retrieval -> per-probe MRR -> rel labels (the reference's
+    test_PRJ_* main flow, src/test_PRJ_topiocqa.py:495-527 + improve_judge).
+    """
+    from haconvdr_tpu.data.prj import build_prj_probe_examples
+
+    import json
+    import tempfile
+
+    mesh = mesh or make_mesh()
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        for rec in probe_records:
+            f.write(json.dumps(rec) + "\n")
+        probe_file = f.name
+    examples = build_prj_probe_examples(cfg.data, tokenizer, probe_file)
+    embs, ids = get_test_query_embeddings(
+        cfg, params, mesh=mesh, examples=examples, query_key="pair_query"
+    )
+    s = cfg.search
+    scores, offsets = search_embedding_store(cfg, embs, store)
+    if offset2pid is None and s.passage_offset2pid_path:
+        offset2pid = pload(s.passage_offset2pid_path)
+    ranked = dedup_ranked_candidates(ids, scores, offsets, offset2pid, s.top_k)
+    run = {
+        qid: {str(pid): float(200 - r - 1) for r, (pid, _) in enumerate(lst)}
+        for qid, lst in ranked.items()
+    }
+    qrels, qrels_graded = read_qrels(probe_qrel_file, s.rel_threshold)
+    per_q = evaluate_run(run, qrels, qrels_graded)
+    probe_mrr = {qid: m["recip_rank"] for qid, m in per_q.items()}
+    rel = improve_judge(probe_records, probe_mrr, qrel_ids=qrel_ids)
+    ones, zeros = judge_stats(rel)
+    logger.info("PRJ judge: one=%d zero=%d", ones, zeros)
+    return rel
+
+
+def write_rel_labels(rel: Dict[str, List[int]], out_path: str) -> None:
+    from haconvdr_tpu.utils.io import write_jsonl
+
+    write_jsonl(rel_label_records(rel), out_path)
