@@ -1,0 +1,166 @@
+"""Pallas TPU kernel: fused exact inner-product top-k.
+
+Replaces faiss ``IndexFlatIP.search`` (src/test_HAConvDR_topiocqa.py:98-108)
+with a single fused pass: for each (query-tile, passage-tile) grid cell the
+kernel computes the score tile on the MXU and folds it into a running
+per-query top-k held in VMEM — scores NEVER materialize in HBM (the
+XLA-level implementation in ops/topk.py writes a [Q, chunk] slab per step;
+at 2.5M passages that is ~40 GB of HBM traffic per 2k-query search).
+
+Selection algorithm (exact): maintain an UNSORTED best-k buffer plus its
+row minimum as a threshold.  Per passage tile, iteratively extract the tile
+argmax of each query row while it beats the row's threshold, inserting it
+at the buffer's argmin slot.  For a random scan order the expected number
+of threshold-beating candidates over the whole block is k + k·ln(N/k) per
+query, so after warm-up almost every tile is rejected by one VPU max+compare
+— the MXU matmul dominates.  All rows of a query tile are processed in
+lockstep (vectorized extraction), so a tile costs max-over-rows(candidates)
+rounds, not sum.
+
+Tie-break note: equal scores resolve by extraction order (earlier tile
+first, then argmax's lane order), matching the reference's
+earlier-block-wins merge (":131-149") at block granularity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-jnp.inf)
+
+
+def _topk_kernel(
+    n_valid_ref,  # SMEM scalar prefetch: [1] int32
+    q_ref,  # [QT, D] VMEM
+    p_ref,  # [PT, D] VMEM
+    out_s_ref,  # [QT, K] VMEM
+    out_i_ref,  # [QT, K] VMEM
+    best_s,  # scratch [QT, K] f32
+    best_i,  # scratch [QT, K] i32
+    scores,  # scratch [QT, PT] f32
+    *,
+    k: int,
+    pt: int,
+):
+    j = pl.program_id(1)
+    n_p = pl.num_programs(1)
+    QT = q_ref.shape[0]
+    K = best_s.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        best_s[...] = jnp.full(best_s.shape, NEG_INF, jnp.float32)
+        best_i[...] = jnp.full(best_i.shape, -1, jnp.int32)
+
+    s = jax.lax.dot_general(
+        q_ref[...],
+        p_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [QT, PT]
+    base = j * pt
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (QT, pt), 1)
+    s = jnp.where(base + col_ids < n_valid_ref[0], s, NEG_INF)
+    scores[...] = s
+
+    def round_body(carry):
+        _ = carry
+        sc = scores[...]
+        bs = best_s[...]
+        val = jnp.max(sc, axis=1)  # [QT]
+        row_min = jnp.min(bs, axis=1)  # [QT]
+        active = val > row_min  # [QT]
+        col = jnp.argmax(sc, axis=1).astype(jnp.int32)  # [QT]
+        # extract: kill the taken element for active rows
+        hit = (col_ids == col[:, None]) & active[:, None]
+        scores[...] = jnp.where(hit, NEG_INF, sc)
+        # insert at the argmin slot for active rows
+        amin = jnp.argmin(bs, axis=1).astype(jnp.int32)  # [QT]
+        k_ids = jax.lax.broadcasted_iota(jnp.int32, (QT, K), 1)
+        slot = (k_ids == amin[:, None]) & active[:, None]
+        best_s[...] = jnp.where(slot, val[:, None], bs)
+        best_i[...] = jnp.where(slot, base + col[:, None], best_i[...])
+        # continue while any row still has a candidate beating its new min
+        new_val = jnp.max(scores[...], axis=1)
+        new_min = jnp.min(best_s[...], axis=1)
+        return jnp.any(new_val > new_min)
+
+    # cheap pre-check: most tiles lose to the running threshold outright
+    first_val = jnp.max(scores[...], axis=1)
+    first_min = jnp.min(best_s[...], axis=1)
+
+    @pl.when(jnp.any(first_val > first_min))
+    def _():
+        jax.lax.while_loop(lambda c: c, round_body, True)
+
+    @pl.when(j == n_p - 1)
+    def _():
+        out_s_ref[...] = best_s[...]
+        out_i_ref[...] = best_i[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "q_tile", "p_tile", "interpret")
+)
+def pallas_topk_block(
+    queries: jax.Array,  # [Q, D]
+    passages: jax.Array,  # [N, D], N % p_tile == 0
+    n_valid: jax.Array,  # scalar int32
+    k: int,
+    q_tile: int = 128,
+    p_tile: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact (scores [Q, K], indices [Q, K]) top-k, K = k padded to a
+    multiple of 128 lanes; callers slice [:, :k] after a final sort."""
+    Q, D = queries.shape
+    N, D2 = passages.shape
+    assert D == D2
+    assert N % p_tile == 0, "pad passages to a multiple of p_tile"
+    assert Q % q_tile == 0, "pad queries to a multiple of q_tile"
+    K = -(-k // 128) * 128
+
+    grid = (Q // q_tile, N // p_tile)
+    kernel = functools.partial(_topk_kernel, k=k, pt=p_tile)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((q_tile, D), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((p_tile, D), lambda i, j, *_: (j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((q_tile, K), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((q_tile, K), lambda i, j, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((q_tile, K), jnp.float32),
+                pltpu.VMEM((q_tile, K), jnp.int32),
+                pltpu.VMEM((q_tile, p_tile), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((Q, K), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32).reshape(1), queries, passages)
+
+    # buffer is unsorted; order + trim to k (ties: lower index first like
+    # lax.top_k by biasing the sort key with the index)
+    top_s, pos = jax.lax.top_k(out_s, k)
+    top_i = jnp.take_along_axis(out_i, pos, axis=1)
+    return top_s, top_i
+
+
+def pallas_supported() -> bool:
+    return jax.devices()[0].platform == "tpu"

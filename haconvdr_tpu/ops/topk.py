@@ -59,20 +59,50 @@ def merge_topk(
     return top_s, jnp.take_along_axis(i, pos, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _chunk_topk(scores: jax.Array, k: int, window: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a [Q, C] score tile.
+
+    ``window > 0`` enables the window-max selection: split columns into
+    ``window``-wide groups, rank groups by their max, gather the top
+    min(k, C/window) whole groups, and take the exact top-k inside them.
+    Exactness: any overall top-k element x has <= k-1 elements above it, so
+    at most k-1 groups have a larger max than x's group — x's group is
+    always selected.  This replaces one O(C)-wide sort-based lax.top_k with
+    a cheap VPU max-reduce + two narrow top_ks, the main selection cost on
+    TPU (the MXU matmul is not the bottleneck; the wide TopK is).
+    """
+    Q, C = scores.shape
+    if window <= 0 or C <= window * k or C % window != 0:
+        return jax.lax.top_k(scores, min(k, C))
+    G = C // window
+    grouped = scores.reshape(Q, G, window)
+    gmax = grouped.max(axis=2)  # [Q, G]
+    kw = min(k, G)
+    _, gidx = jax.lax.top_k(gmax, kw)  # [Q, kw]
+    gathered = jnp.take_along_axis(grouped, gidx[:, :, None], axis=1)  # [Q, kw, window]
+    flat = gathered.reshape(Q, kw * window)
+    top_s, flat_i = jax.lax.top_k(flat, k)
+    col = flat_i % window
+    grp = jnp.take_along_axis(gidx, flat_i // window, axis=1)
+    return top_s, grp * window + col
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "window"))
 def topk_block(
     queries: jax.Array,  # [Q, D] float32/bfloat16
     passages: jax.Array,  # [N, D]; N padded to a multiple of ``chunk``
     n_valid: jax.Array,  # scalar int32: true passage count (<= N)
     k: int,
     chunk: int,
+    window: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k over one resident passage block.
 
     Scans ``passages`` in [chunk, D] tiles; each step computes the score
-    tile on the MXU, masks padded rows to -inf, takes an on-tile top-k and
-    merges into the running [Q, k] state.  Peak live memory beyond inputs is
-    one [Q, chunk] f32 tile.
+    tile on the MXU, masks padded rows to -inf, takes an exact on-tile
+    top-k (window-max selection, see _chunk_topk) and merges into the
+    running [Q, k] state.  Peak live memory beyond inputs is one
+    [Q, chunk] f32 tile.
     """
     Q = queries.shape[0]
     N, D = passages.shape
@@ -99,10 +129,10 @@ def topk_block(
         base = c_idx * chunk
         col = base + jax.lax.broadcasted_iota(jnp.int32, (Q, chunk), 1)
         scores = jnp.where(col < n_valid, scores, NEG_INF)
-        tile_s, tile_i = jax.lax.top_k(scores, min(k, chunk))
+        tile_s, tile_i = _chunk_topk(scores, k, window)
         tile_idx = base + tile_i
-        if k > chunk:  # pad tile result up to k columns
-            pad = k - chunk
+        if k > tile_s.shape[1]:  # pad tile result up to k columns
+            pad = k - tile_s.shape[1]
             tile_s = jnp.pad(tile_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
             tile_idx = jnp.pad(tile_idx, ((0, 0), (0, pad)), constant_values=-1)
         # running state first => earlier tiles win ties, faiss-style
@@ -139,12 +169,32 @@ class BlockSearcher:
         passage_chunk: int = 65536,
         query_chunk: int = 1024,
         compute_dtype: str = "float32",
+        use_pallas: Optional[bool] = None,
     ):
         self.top_k = top_k
         self.passage_chunk = passage_chunk
         self.query_chunk = query_chunk
         self.compute_dtype = jnp.dtype(compute_dtype)
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        self.use_pallas = use_pallas
+        if use_pallas:
+            assert query_chunk % 128 == 0, "pallas path needs 128-aligned query chunks"
         self._merge = jax.jit(functools.partial(merge_topk, k=top_k))
+
+    def _block_topk(self, queries, passages, n_valid):
+        """Per-block exact top-k: fused Pallas kernel on TPU, blocked XLA
+        scan elsewhere.  Both are exact; the kernel avoids materializing
+        score slabs in HBM (ops/pallas_topk.py)."""
+        if self.use_pallas:
+            from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
+
+            return pallas_topk_block(
+                queries, passages, jnp.int32(n_valid), self.top_k
+            )
+        return topk_block(
+            queries, passages, jnp.int32(n_valid), self.top_k, self.passage_chunk
+        )
 
     def search(
         self,
@@ -162,28 +212,27 @@ class BlockSearcher:
         best_s = jnp.full((Q, k), NEG_INF, jnp.float32)
         best_ids = jnp.full((Q, k), -1, jnp.int64)
 
-        queries = jnp.asarray(query_embs, self.compute_dtype)
+        queries_np = np.asarray(query_embs)
+        if self.use_pallas:  # pallas grid needs whole query tiles
+            queries_np = _pad_rows(queries_np, 128)
+        queries = jnp.asarray(queries_np, self.compute_dtype)
+        row_multiple = 2048 if self.use_pallas else self.passage_chunk
 
         for emb, ids in blocks:
             n_valid = emb.shape[0]
-            emb_padded = _pad_rows(np.asarray(emb), self.passage_chunk)
+            emb_padded = _pad_rows(np.asarray(emb), row_multiple)
             passages = jnp.asarray(emb_padded, self.compute_dtype)
             ids_arr = jnp.asarray(np.asarray(ids, np.int64))
 
             block_s_parts, block_i_parts = [], []
-            for qs in range(0, Q, self.query_chunk):
-                qe = min(Q, qs + self.query_chunk)
-                s, i = topk_block(
-                    queries[qs:qe],
-                    passages,
-                    jnp.int32(n_valid),
-                    k,
-                    self.passage_chunk,
-                )
+            qn = queries.shape[0]
+            for qs in range(0, qn, self.query_chunk):
+                qe = min(qn, qs + self.query_chunk)
+                s, i = self._block_topk(queries[qs:qe], passages, n_valid)
                 block_s_parts.append(s)
                 block_i_parts.append(i)
-            block_s = jnp.concatenate(block_s_parts, axis=0)
-            block_i = jnp.concatenate(block_i_parts, axis=0)
+            block_s = jnp.concatenate(block_s_parts, axis=0)[:Q]
+            block_i = jnp.concatenate(block_i_parts, axis=0)[:Q]
             # local index -> global embedding id (":110")
             block_ids = ids_arr[jnp.clip(block_i, 0, n_valid - 1)]
             block_ids = jnp.where(block_i >= 0, block_ids, -1)
