@@ -23,8 +23,9 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     extra = {}
     rest = []
+    extra_keys = ("prj_output", "ori_qrel_file", "cross_validate", "num_folds", "test_epoch")
     for a in argv:
-        if a.startswith("prj_output=") or a.startswith("ori_qrel_file="):
+        if any(a.startswith(p + "=") for p in extra_keys):
             k, _, v = a.partition("=")
             extra[k] = v
         else:
@@ -32,12 +33,6 @@ def main(argv=None):
     cfg = config_from_argv(rest)
     set_seed(cfg.data.seed)
 
-    tokenizer, encoder = load_model(
-        cfg.model.model_type + "_Query", cfg.model.pretrained_encoder_path
-    )
-    cfg.model = encoder.cfg
-
-    probe_records = read_jsonl_list(cfg.data.test_file_path)
     qrel_ids = None
     if "ori_qrel_file" in extra:
         qrel_ids = set()
@@ -45,6 +40,52 @@ def main(argv=None):
             sid = rec["sample_id"]
             conv, turn = sid.split("_")[-2:]
             qrel_ids.add(f"{conv}-{turn}")
+
+    if extra.get("cross_validate", "").lower() in ("1", "true", "yes"):
+        # 5-fold cross-validated PRJ: per-fold probe file '.{i}' + per-fold
+        # model 'fold_{i}/epoch-{E}', embeddings concatenated before one
+        # search pass (src/test_PRJ_topiocqa.py:501-523)
+        import numpy as np
+
+        from haconvdr_tpu.data.prj import build_prj_probe_examples
+        from haconvdr_tpu.retrieval import get_test_query_embeddings
+
+        num_folds = int(extra.get("num_folds", 5))
+        epoch = extra.get("test_epoch", "0")
+        base_file = cfg.data.test_file_path
+        base_model = cfg.model.pretrained_encoder_path
+        probe_records, all_embs, all_ids = [], [], []
+        tokenizer = None
+        for fold in range(num_folds):
+            fold_model = f"{base_model}/fold_{fold}/epoch-{epoch}"
+            tokenizer, encoder = load_model(
+                cfg.model.model_type + "_Query", fold_model
+            )
+            cfg.model = encoder.cfg
+            fold_file = f"{base_file}.{fold}"
+            probe_records.extend(read_jsonl_list(fold_file))
+            examples = build_prj_probe_examples(cfg.data, tokenizer, fold_file)
+            embs, ids = get_test_query_embeddings(
+                cfg, encoder.params, examples=examples, query_key="pair_query"
+            )
+            all_embs.append(embs)
+            all_ids.extend(ids)
+        rel = run_prj_labeling(
+            cfg, None, probe_records, cfg.search.trec_gold_qrel_file_path,
+            tokenizer, qrel_ids=qrel_ids,
+            query_embs=np.concatenate(all_embs, axis=0), query_ids=all_ids,
+        )
+        out = extra.get("prj_output", "rel_label.json")
+        write_rel_labels(rel, out)
+        logger.info("rel labels written to %s", out)
+        return
+
+    tokenizer, encoder = load_model(
+        cfg.model.model_type + "_Query", cfg.model.pretrained_encoder_path
+    )
+    cfg.model = encoder.cfg
+
+    probe_records = read_jsonl_list(cfg.data.test_file_path)
     rel = run_prj_labeling(
         cfg, encoder.params, probe_records,
         cfg.search.trec_gold_qrel_file_path, tokenizer, qrel_ids=qrel_ids,

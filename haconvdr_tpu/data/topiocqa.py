@@ -164,6 +164,80 @@ def build_topiocqa_train_examples(
     return examples
 
 
+def build_topiocqa_train_examples_expanded(
+    cfg: DataConfig,
+    tokenizer,
+    filename: str,
+    rng: Optional[random.Random] = None,
+    is_pseudo_prepos: bool = True,
+) -> List[Dict]:
+    """Port of the ORIGINAL Retrieval_topiocqa train path
+    (src/data.py:25-199 with is_train=True): when ``is_pseudo_prepos`` is
+    active, each turn additionally emits one example PER pseudo-prepos
+    passage (as a positive), paired with a random bm25/prepos hard
+    negative (src/data.py:160-173), followed by the standard
+    gold-positive example (":187-199").  ``hard_neg_type`` selects the
+    negative pool (":164-170,189-195").
+
+    The query concat is the eval-style conv_qp of that class (PRL gating
+    over (passage, query) pairs with per-segment overflow, ":64-127"),
+    which the expanded example list shares across its duplicates.
+    """
+    rng = rng or random.Random(cfg.seed)
+    data = _read_lines(filename)
+    records = [json.loads(line) for line in data]
+    # reuse the eval-side conv_qp construction, which follows the same code
+    # path in the reference class
+    base_cfg = cfg
+    base = build_topiocqa_test_examples(base_cfg, tokenizer, filename)
+    examples: List[Dict] = []
+    for i, record in enumerate(records):
+        conv = base[i]
+        raw = {
+            "sample_id": record["sample_id"],
+            "raw_query": conv["raw_query"],
+            "raw_query_mask": conv["raw_query_mask"],
+            "conv_qp": conv["conv_qp"],
+            "conv_qp_mask": conv["conv_qp_mask"],
+        }
+        bm25 = record["bm25_hard_neg_docs"]
+        prepos = record.get("prepos_neg_docs", [])
+
+        def pick_neg():
+            if cfg.hard_neg_type == "prepos" and len(prepos) > 0:
+                return rng.choice(prepos)
+            if cfg.hard_neg_type == "prepos":
+                return rng.choice(bm25)
+            return rng.choice(bm25) if cfg.hard_neg_type == "bm25" else bm25[0]
+
+        def with_docs(pos_text, neg_text):
+            ex = dict(raw)
+            pos_ids = encode_trunc(tokenizer, pos_text, cfg.max_doc_length)
+            neg_ids = encode_trunc(tokenizer, neg_text, cfg.max_doc_length)
+            ex["pos_docs"], ex["pos_docs_mask"] = pad_seq_to_length(
+                pos_ids, cfg.max_doc_length
+            )
+            ex["neg_docs"], ex["neg_docs_mask"] = pad_seq_to_length(
+                neg_ids, cfg.max_doc_length
+            )
+            return ex
+
+        if getattr(cfg, "is_train", True):
+            if is_pseudo_prepos:
+                for pseudo in record.get("pseudo_prepos_docs", []):
+                    examples.append(with_docs(pseudo, pick_neg()))
+            # gold positive paired with the FIRST bm25 negative (":190")
+            neg = (
+                rng.choice(prepos)
+                if cfg.hard_neg_type == "prepos" and len(prepos) > 0
+                else bm25[0]
+            )
+            examples.append(with_docs(record["pos_docs"][0], neg))
+        else:
+            examples.append(raw)
+    return examples
+
+
 def build_topiocqa_test_examples(
     cfg: DataConfig,
     tokenizer,

@@ -111,6 +111,94 @@ class ShardedIndex:
             sharded_topk, self.mesh, n_valid=self.n_valid, chunk=self.chunk
         )
 
+    @classmethod
+    def from_store(
+        cls,
+        mesh: Mesh,
+        store,
+        chunk: int = 65536,
+        dtype: str = "float32",
+        num_blocks: int = -1,
+    ) -> "ShardedIndex":
+        """Build a device-resident sharded index straight from an
+        EmbeddingBlockStore without assembling the corpus on one host
+        buffer: each shard's rows are placed on its device as they are cut
+        out of the block stream, then stitched into one global jax.Array
+        (the TPU-native replacement for faiss's GpuMultipleClonerOptions
+        shard clone, src/test_HAConvDR_topiocqa.py:54-67).
+
+        Memory plan: a 54M x 768 corpus is 167 GB in f32 — beyond a v5e-8's
+        HBM — but 84 GB in bfloat16, which fits; pass dtype="bfloat16"
+        (SURVEY.md SS7 hard part (b)).  f32 corpora that exceed HBM should
+        use the streaming BlockSearcher instead.
+        """
+        import jax as _jax
+
+        sizes = []
+        nb = store.num_blocks() if num_blocks < 0 else num_blocks
+        for b in range(nb):
+            emb, _ = store.read_block(b)
+            sizes.append(emb.shape[0])
+        n_valid = int(sum(sizes))
+        dim = store.read_block(0)[0].shape[1]
+
+        fmesh = _flat_mesh(mesh)
+        devices = list(fmesh.devices.reshape(-1))
+        n_shards = len(devices)
+        shard_rows = -(-n_valid // n_shards)
+        shard_rows = -(-shard_rows // chunk) * chunk
+        rows = shard_rows * n_shards
+
+        jdt = jnp.dtype(dtype)
+        ids_all = np.empty((n_valid,), np.int64)
+        shard_arrays = []
+        shard_buf = np.zeros((shard_rows, dim), jdt)
+        shard_fill = 0
+        shard_id = 0
+        row = 0
+        for b in range(nb):
+            emb, ids = store.read_block(b)
+            ids_all[row : row + emb.shape[0]] = ids
+            row += emb.shape[0]
+            off = 0
+            while off < emb.shape[0]:
+                take = min(shard_rows - shard_fill, emb.shape[0] - off)
+                shard_buf[shard_fill : shard_fill + take] = emb[off : off + take]
+                shard_fill += take
+                off += take
+                if shard_fill == shard_rows:
+                    shard_arrays.append(
+                        _jax.device_put(shard_buf, devices[shard_id])
+                    )
+                    shard_id += 1
+                    shard_fill = 0
+                    if shard_id < n_shards:
+                        shard_buf = np.zeros((shard_rows, dim), jdt)
+        if shard_fill > 0 or shard_id < n_shards:
+            shard_buf[shard_fill:] = 0
+            shard_arrays.append(_jax.device_put(shard_buf, devices[shard_id]))
+            shard_id += 1
+            while shard_id < n_shards:
+                shard_arrays.append(
+                    _jax.device_put(np.zeros((shard_rows, dim), jdt), devices[shard_id])
+                )
+                shard_id += 1
+
+        sharding = NamedSharding(fmesh, P("d", None))
+        global_arr = _jax.make_array_from_single_device_arrays(
+            (rows, dim), sharding, shard_arrays
+        )
+        obj = cls.__new__(cls)
+        obj.mesh = mesh
+        obj.n_valid = n_valid
+        obj.chunk = chunk
+        obj.passages = global_arr
+        obj.ids = ids_all
+        obj._search = functools.partial(
+            sharded_topk, obj.mesh, n_valid=obj.n_valid, chunk=obj.chunk
+        )
+        return obj
+
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores [Q, k], ids [Q, k]).  ``ids`` are global ids when
         an id array was provided, else raw row offsets."""

@@ -149,9 +149,13 @@ def run_prj_labeling(
     qrel_ids: Optional[set] = None,
     store: Optional[EmbeddingBlockStore] = None,
     offset2pid: Optional[List[int]] = None,
+    query_embs: Optional[np.ndarray] = None,
+    query_ids: Optional[Sequence[str]] = None,
 ) -> Dict[str, List[int]]:
     """Probe retrieval -> per-probe MRR -> rel labels (the reference's
     test_PRJ_* main flow, src/test_PRJ_topiocqa.py:495-527 + improve_judge).
+    Pass precomputed (query_embs, query_ids) for the 5-fold cross-validate
+    flow (":501-523"), which concatenates per-fold-model embeddings.
     """
     from haconvdr_tpu.data.prj import build_prj_probe_examples
 
@@ -159,14 +163,17 @@ def run_prj_labeling(
     import tempfile
 
     mesh = mesh or make_mesh()
-    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
-        for rec in probe_records:
-            f.write(json.dumps(rec) + "\n")
-        probe_file = f.name
-    examples = build_prj_probe_examples(cfg.data, tokenizer, probe_file)
-    embs, ids = get_test_query_embeddings(
-        cfg, params, mesh=mesh, examples=examples, query_key="pair_query"
-    )
+    if query_embs is None:
+        with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+            for rec in probe_records:
+                f.write(json.dumps(rec) + "\n")
+            probe_file = f.name
+        examples = build_prj_probe_examples(cfg.data, tokenizer, probe_file)
+        embs, ids = get_test_query_embeddings(
+            cfg, params, mesh=mesh, examples=examples, query_key="pair_query"
+        )
+    else:
+        embs, ids = query_embs, list(query_ids)
     s = cfg.search
     scores, offsets = search_embedding_store(cfg, embs, store)
     if offset2pid is None and s.passage_offset2pid_path:

@@ -297,3 +297,29 @@ def test_collate_and_batch_iter():
     assert last["sample_id"] == ["s4", "s4"]  # pad repeats the batch's first row
     for b in batches:
         assert b["x"].dtype == np.int32
+
+
+def test_topiocqa_expanded_train_builder(tmp_path):
+    from haconvdr_tpu.data.topiocqa import build_topiocqa_train_examples_expanded
+
+    tok = FakeTokenizer()
+    cfg = DataConfig(
+        max_query_length=8, max_doc_length=8, max_response_length=8,
+        max_concat_length=32, use_PRL=True, is_train=True, hard_neg_type="bm25",
+    )
+    records = [
+        _mk_record("T_1_1", "q one", pos_doc="gold one", bm25_neg="neg one"),
+        _mk_record("T_1_2", "q two", rel_label=[1], pos_doc="gold two",
+                   bm25_neg="neg two", pseudo=["hist pos a", "hist pos b"]),
+    ]
+    ex = build_topiocqa_train_examples_expanded(
+        cfg, tok, _topiocqa_file(tmp_path, records)
+    )
+    # turn 1: one gold example; turn 2: 2 pseudo examples + 1 gold example
+    assert len(ex) == 4
+    pos2 = [t for t, m in zip(ex[1]["pos_docs"], ex[1]["pos_docs_mask"]) if m]
+    assert pos2 == tok.encode("hist pos a")
+    gold2 = [t for t, m in zip(ex[3]["pos_docs"], ex[3]["pos_docs_mask"]) if m]
+    assert gold2 == tok.encode("gold two")
+    neg2 = [t for t, m in zip(ex[3]["neg_docs"], ex[3]["neg_docs_mask"]) if m]
+    assert neg2 == tok.encode("neg two")  # first bm25 neg for the gold example

@@ -87,3 +87,38 @@ def test_rel_threshold_binarization(tmp_path):
     binary, graded = read_qrels(qrel_file, rel_threshold=2)
     assert binary["q1"] == {"d1": 1, "d2": 0, "d3": 0}
     assert graded["q1"] == {"d1": 2, "d2": 1, "d3": 0}
+
+
+def test_print_res_json_variant():
+    from haconvdr_tpu.eval.analysis import print_res
+
+    gold = [
+        {"conv_id": 1, "turn_id": 1, "positive_ctxs": [{"passage_id": "5"}]},
+        {"conv_id": 1, "turn_id": 2, "positive_ctxs": [{"passage_id": "9"}]},
+    ]
+    result = [
+        {"conv_id": 1, "turn_id": 1,
+         "ctxs": [{"doc_id": "3"}, {"doc_id": "5"}]},   # gold at rank 2
+        {"conv_id": 1, "turn_id": 2,
+         "ctxs": [{"doc_id": "1"}, {"doc_id": "2"}]},   # gold missing -> 1000
+    ]
+    res = print_res(result, gold)
+    assert res["MRR"] == 25.0            # (0.5 + 0)/2
+    assert res["R@1"] == 0.0
+    assert res["R@3"] == 50.0
+    import math
+    assert abs(res["NDCG"] - round(100 / math.log2(3) / 2, 2)) < 1e-9
+
+
+def test_metric_by_turn():
+    from haconvdr_tpu.eval.analysis import metric_by_turn
+
+    per_q = {
+        "Tag_1_1": 1.0, "Tag_2_1": 0.0,     # turn 1 avg 0.5
+        "Tag_1_2": 0.4, "7-2": 0.6,         # turn 2 avg 0.5
+        "Tag_1_3": 0.9,
+    }
+    by_turn = metric_by_turn(per_q)
+    assert by_turn[1] == 0.5
+    assert by_turn[2] == 0.5
+    assert by_turn[3] == 0.9

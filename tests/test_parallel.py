@@ -67,3 +67,25 @@ def test_tp_sharded_encode_matches_single_device(rng):
     )
     single = np.asarray(encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
     np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_index_from_store(rng, tmp_path):
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+    from haconvdr_tpu.parallel.sharded_search import ShardedIndex
+
+    mesh = make_mesh()
+    n, d = 530, 8
+    emb = rng.randn(n, d).astype(np.float32)
+    ids = (np.arange(n) * 2 + 1).astype(np.int64)
+    store = EmbeddingBlockStore(str(tmp_path / "blk"))
+    store.write_block(0, emb[:200], ids[:200])
+    store.write_block(1, emb[200:430], ids[200:430])
+    store.write_block(2, emb[430:], ids[430:])
+
+    index = ShardedIndex.from_store(mesh, store, chunk=16)
+    assert index.n_valid == n
+    queries = rng.randn(6, d).astype(np.float32)
+    s, got = index.search(queries, 11)
+    ref_s, ref_i = exact_topk_oracle(jnp.asarray(queries), jnp.asarray(emb), 11)
+    np.testing.assert_allclose(s, np.asarray(ref_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got, ids[np.asarray(ref_i)])
