@@ -103,6 +103,8 @@ class ModelConfig:
             vocab_size=128,
             max_position_embeddings=66,
             embedding_dim=16,
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
         )
         base.update(kw)
         return cls(**base)

@@ -20,7 +20,7 @@ Design choices (deliberately not a torch translation):
 from __future__ import annotations
 
 import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -121,7 +121,15 @@ def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
     return incremental + pad_token_id
 
 
-def _attention(x, mask_bias, p, num_heads, dtype):
+def _dropout(x, rate, rng):
+    """Inverted dropout; no-op when rng is None (inference/frozen towers)."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _attention(x, mask_bias, p, num_heads, dtype, attn_drop=0.0, rng=None):
     B, L, H = x.shape
     d = H // num_heads
 
@@ -138,6 +146,7 @@ def _attention(x, mask_bias, p, num_heads, dtype):
     ) / math.sqrt(d)
     scores = scores + mask_bias  # [B, 1, 1, L] additive
     probs = jax.nn.softmax(scores, axis=-1)
+    probs = _dropout(probs, attn_drop, rng)  # HF attention-probs dropout
     ctx = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(dtype), v.astype(dtype), preferred_element_type=acc
     )
@@ -150,9 +159,24 @@ def encoder_hidden_states(
     cfg: ModelConfig,
     input_ids: jax.Array,
     attention_mask: jax.Array,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Transformer stack -> last_hidden_state [B, L, H]."""
+    """Transformer stack -> last_hidden_state [B, L, H].
+
+    ``dropout_rng`` enables training-mode dropout with the reference's HF
+    placements (embeddings post-LN, attention probs, both residual
+    branches); None = eval mode (the reference's frozen/no-grad towers)."""
     dtype = jnp.dtype(cfg.dtype)
+    hd, ad = cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob
+    rngs = iter(
+        jax.random.split(dropout_rng, 1 + 3 * len(params["layers"]))
+        if dropout_rng is not None
+        else []
+    )
+
+    def next_rng():
+        return next(rngs) if dropout_rng is not None else None
+
     emb = params["embeddings"]
     if cfg.model_type.upper().startswith("BERT"):
         position_ids = jnp.arange(input_ids.shape[1])[None, :]
@@ -165,14 +189,19 @@ def encoder_hidden_states(
         + emb["token_type_embeddings"][jnp.zeros_like(input_ids)]
     )
     x = _layer_norm(x, emb["layer_norm"], cfg.layer_norm_eps)
+    x = _dropout(x, hd, next_rng())
 
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
     for layer in params["layers"]:
-        attn_out = _attention(x, mask_bias, layer["attention"], cfg.num_attention_heads, dtype)
+        attn_out = _attention(
+            x, mask_bias, layer["attention"], cfg.num_attention_heads, dtype,
+            attn_drop=ad, rng=next_rng(),
+        )
+        attn_out = _dropout(attn_out, hd, next_rng())
         x = _layer_norm(x + attn_out, layer["attention"]["output_layer_norm"], cfg.layer_norm_eps)
         inter = jax.nn.gelu(_dense(x, layer["intermediate"], dtype), approximate=False)
-        out = _dense(inter, layer["output"], dtype)
+        out = _dropout(_dense(inter, layer["output"], dtype), hd, next_rng())
         x = _layer_norm(x + out, layer["output_layer_norm"], cfg.layer_norm_eps)
     return x
 
@@ -183,15 +212,20 @@ def encode(
     input_ids: jax.Array,
     attention_mask: jax.Array,
     use_mean: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full ANCE embedding: encoder -> pooling -> embeddingHead -> LayerNorm.
 
     Mirrors ANCE.query_emb (src/models.py:39-45): pooling is first-token
     (CLS) by default, masked mean when ``use_mean`` (src/models.py:52-61);
-    ``doc_emb`` is identical (src/models.py:48-49).
+    ``doc_emb`` is identical (src/models.py:48-49).  ``dropout_rng``
+    activates training-mode dropout (the reference trains the query tower
+    in torch train mode, src/train_HAConvDR_topiocqa.py:125).
     Returns [B, embedding_dim] float32.
     """
-    hidden = encoder_hidden_states(params, cfg, input_ids, attention_mask)
+    hidden = encoder_hidden_states(
+        params, cfg, input_ids, attention_mask, dropout_rng=dropout_rng
+    )
     if use_mean:
         m = attention_mask.astype(jnp.float32)[:, :, None]
         pooled = jnp.sum(hidden * m, axis=1) / jnp.sum(m, axis=1)

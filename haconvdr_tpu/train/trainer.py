@@ -46,6 +46,7 @@ class TrainState(NamedTuple):
     accum_grads: Any
     micro_step: jax.Array  # int32 counter within the accumulation window
     global_step: jax.Array  # applied-update counter
+    rng: jax.Array  # dropout PRNG, split every micro step
 
 
 def linear_warmup_decay_schedule(
@@ -117,8 +118,14 @@ def make_train_step(
     data_sharding = NamedSharding(mesh, P("dp", None))
     K = train_cfg.accumulation_steps
 
-    def loss_fn(params, frozen_params, batch):
-        q = encode(params, model_cfg, batch[query_key], batch[f"{query_key}_mask"])
+    def loss_fn(params, frozen_params, batch, dropout_rng):
+        # query tower in train mode (dropout active,
+        # src/train_HAConvDR_topiocqa.py:125); frozen passage tower in eval
+        # mode (":126", passage_encoder.eval())
+        q = encode(
+            params, model_cfg, batch[query_key], batch[f"{query_key}_mask"],
+            dropout_rng=dropout_rng,
+        )
         sg = jax.lax.stop_gradient
 
         def frozen_encode(ids, mask):
@@ -164,7 +171,15 @@ def make_train_step(
             )
             for k, v in batch.items()
         }
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen_params, batch)
+        rng, dropout_rng = jax.random.split(state.rng)
+        drop = (
+            dropout_rng
+            if (model_cfg.hidden_dropout_prob > 0 or model_cfg.attention_probs_dropout_prob > 0)
+            else None
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, frozen_params, batch, drop
+        )
         accum = jax.tree_util.tree_map(jnp.add, state.accum_grads, grads)
         micro = state.micro_step + 1
 
@@ -173,12 +188,12 @@ def make_train_step(
             new_params = optax.apply_updates(state.params, updates)
             zeros = jax.tree_util.tree_map(jnp.zeros_like, accum)
             return TrainState(
-                new_params, new_opt, zeros, jnp.int32(0), state.global_step + 1
+                new_params, new_opt, zeros, jnp.int32(0), state.global_step + 1, rng
             )
 
         def hold(_):
             return TrainState(
-                state.params, state.opt_state, accum, micro, state.global_step
+                state.params, state.opt_state, accum, micro, state.global_step, rng
             )
 
         new_state = jax.lax.cond(micro >= K, apply, hold, None)
@@ -188,7 +203,7 @@ def make_train_step(
 
 
 def init_train_state(
-    params: EncoderParams, optimizer: optax.GradientTransformation
+    params: EncoderParams, optimizer: optax.GradientTransformation, seed: int = 42
 ) -> TrainState:
     return TrainState(
         params=params,
@@ -196,6 +211,7 @@ def init_train_state(
         accum_grads=jax.tree_util.tree_map(jnp.zeros_like, params),
         micro_step=jnp.int32(0),
         global_step=jnp.int32(0),
+        rng=jax.random.PRNGKey(seed),
     )
 
 
@@ -225,7 +241,7 @@ class Trainer:
             self.mesh, self.model_cfg, cfg, optimizer,
             loss_variant=self.loss_variant, query_key=self.query_key,
         )
-        state = init_train_state(params, optimizer)
+        state = init_train_state(params, optimizer, seed=cfg.seed)
         frozen = jax.tree_util.tree_map(jnp.asarray, frozen_params)
 
         best_loss = float("inf")

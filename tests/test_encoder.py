@@ -142,3 +142,28 @@ def test_encode_is_jittable_and_deterministic(rng):
     b = np.asarray(f(params, jnp.asarray(ids), jnp.asarray(mask)))
     np.testing.assert_array_equal(a, b)
     assert a.shape == (ids.shape[0], cfg.embedding_dim)
+
+
+def test_dropout_semantics(rng):
+    """Dropout: active only with an rng, deterministic per key, identity at
+    rate 0 (frozen towers run keyless, matching passage_encoder.eval())."""
+    cfg = ModelConfig.tiny()
+    cfg.hidden_dropout_prob = 0.3
+    cfg.attention_probs_dropout_prob = 0.1
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    ids, mask = _batch(rng)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    eval_out = np.asarray(encode(params, cfg, ids, mask))
+    k1 = jax.random.PRNGKey(5)
+    k2 = jax.random.PRNGKey(6)
+    d1 = np.asarray(encode(params, cfg, ids, mask, dropout_rng=k1))
+    d1b = np.asarray(encode(params, cfg, ids, mask, dropout_rng=k1))
+    d2 = np.asarray(encode(params, cfg, ids, mask, dropout_rng=k2))
+    assert not np.allclose(d1, eval_out)
+    np.testing.assert_array_equal(d1, d1b)
+    assert not np.allclose(d1, d2)
+
+    cfg0 = ModelConfig.tiny()  # zero rates: rng must be a no-op
+    z = np.asarray(encode(params, cfg0, ids, mask, dropout_rng=k1))
+    np.testing.assert_array_equal(z, eval_out)
