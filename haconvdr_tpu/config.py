@@ -91,6 +91,11 @@ class ModelConfig:
     attention_probs_dropout_prob: float = 0.1
     # compute dtype for matmuls on TPU; params stay f32
     dtype: str = "float32"
+    # fused Pallas flash attention (TPU): avoids materializing the
+    # [B, H, L, L] score tensor — the memory-bound part of 384/512-token
+    # encoding.  Falls back to exact XLA attention off-TPU or when
+    # attention-probs dropout is active.
+    use_flash_attention: bool = False
 
     @classmethod
     def tiny(cls, **kw) -> "ModelConfig":

@@ -129,7 +129,10 @@ def _dropout(x, rate, rng):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def _attention(x, mask_bias, p, num_heads, dtype, attn_drop=0.0, rng=None):
+def _attention(
+    x, mask_bias, p, num_heads, dtype, attn_drop=0.0, rng=None,
+    use_flash=False, attention_mask=None,
+):
     B, L, H = x.shape
     d = H // num_heads
 
@@ -140,16 +143,31 @@ def _attention(x, mask_bias, p, num_heads, dtype, attn_drop=0.0, rng=None):
     k = split_heads(_dense(x, p["key"], dtype))
     v = split_heads(_dense(x, p["value"], dtype))
 
-    acc = _acc_dtype(dtype)
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype), preferred_element_type=acc
-    ) / math.sqrt(d)
-    scores = scores + mask_bias  # [B, 1, 1, L] additive
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = _dropout(probs, attn_drop, rng)  # HF attention-probs dropout
-    ctx = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(dtype), v.astype(dtype), preferred_element_type=acc
-    )
+    if use_flash and rng is None and attention_mask is not None:
+        # fused Pallas flash attention: padded keys masked via segment ids
+        # (pads sit in segment 0, real tokens in segment 1)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
+
+        seg = attention_mask.astype(jnp.int32)
+        ctx = flash_attention(
+            q.astype(dtype), k.astype(dtype), v.astype(dtype),
+            segment_ids=SegmentIds(seg, seg), sm_scale=1.0 / math.sqrt(d),
+        )
+        ctx = ctx.astype(jnp.float32)
+    else:
+        acc = _acc_dtype(dtype)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype), preferred_element_type=acc
+        ) / math.sqrt(d)
+        scores = scores + mask_bias  # [B, 1, 1, L] additive
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = _dropout(probs, attn_drop, rng)  # HF attention-probs dropout
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(dtype), v.astype(dtype), preferred_element_type=acc
+        )
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
     return _dense(ctx, p["output"], dtype)
 
@@ -197,6 +215,7 @@ def encoder_hidden_states(
         attn_out = _attention(
             x, mask_bias, layer["attention"], cfg.num_attention_heads, dtype,
             attn_drop=ad, rng=next_rng(),
+            use_flash=cfg.use_flash_attention, attention_mask=attention_mask,
         )
         attn_out = _dropout(attn_out, hd, next_rng())
         x = _layer_norm(x + attn_out, layer["attention"]["output_layer_norm"], cfg.layer_norm_eps)

@@ -36,6 +36,7 @@ def sharded_topk(
     n_valid: int,  # true passage count before padding
     k: int,
     chunk: int,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Replicated ([Q, k] scores, [Q, k] global offsets) over all shards."""
     fmesh = _flat_mesh(mesh)
@@ -49,7 +50,12 @@ def sharded_topk(
         base = shard_id * shard_rows
         # valid rows in this shard given global n_valid
         local_valid = jnp.clip(n_valid - base, 0, shard_rows)
-        s, i = topk_block(q, p_shard, local_valid.astype(jnp.int32), k, chunk)
+        if use_pallas:
+            from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
+
+            s, i = pallas_topk_block(q, p_shard, local_valid.astype(jnp.int32), k)
+        else:
+            s, i = topk_block(q, p_shard, local_valid.astype(jnp.int32), k, chunk)
         gi = jnp.where(i >= 0, i + base, -1)
         # gather every shard's candidates and reduce on device
         sg = jax.lax.all_gather(s, "d")  # [n_shards, Q, k]
@@ -107,8 +113,12 @@ class ShardedIndex:
             jnp.asarray(embeddings, jnp.dtype(dtype)), sharding
         )
         self.ids = None if ids is None else np.asarray(ids)
+        self.use_pallas = (
+            jax.devices()[0].platform == "tpu" and shard_rows % 2048 == 0
+        )
         self._search = functools.partial(
-            sharded_topk, self.mesh, n_valid=self.n_valid, chunk=self.chunk
+            sharded_topk, self.mesh, n_valid=self.n_valid, chunk=self.chunk,
+            use_pallas=self.use_pallas,
         )
 
     @classmethod
@@ -194,17 +204,28 @@ class ShardedIndex:
         obj.chunk = chunk
         obj.passages = global_arr
         obj.ids = ids_all
+        obj.use_pallas = (
+            _jax.devices()[0].platform == "tpu" and shard_rows % 2048 == 0
+        )
         obj._search = functools.partial(
-            sharded_topk, obj.mesh, n_valid=obj.n_valid, chunk=obj.chunk
+            sharded_topk, obj.mesh, n_valid=obj.n_valid, chunk=obj.chunk,
+            use_pallas=obj.use_pallas,
         )
         return obj
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores [Q, k], ids [Q, k]).  ``ids`` are global ids when
         an id array was provided, else raw row offsets."""
+        Q = queries.shape[0]
+        queries = np.asarray(queries)
+        if self.use_pallas and Q % 128 != 0:  # whole query tiles
+            pad = -Q % 128
+            queries = np.concatenate(
+                [queries, np.zeros((pad,) + queries.shape[1:], queries.dtype)]
+            )
         q = jnp.asarray(queries, self.passages.dtype)
         s, i = self._search(queries=q, passages=self.passages, k=k)
-        s, i = np.asarray(s), np.asarray(i)
+        s, i = np.asarray(s)[:Q], np.asarray(i)[:Q]
         if self.ids is not None:
             safe = np.clip(i, 0, self.n_valid - 1)
             i = np.where(i >= 0, self.ids[safe], -1)

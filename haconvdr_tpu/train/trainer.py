@@ -219,7 +219,10 @@ def init_train_state(
 class Trainer:
     """Host loop: epochs x shuffled batches -> jitted step; logging and
     best-loss checkpointing mirror the reference loop
-    (src/train_HAConvDR_topiocqa.py:119-208)."""
+    (src/train_HAConvDR_topiocqa.py:119-208).  Beyond the reference:
+    periodic full-train-state checkpoints (``state_ckpt_dir`` +
+    ``state_ckpt_every`` micro steps) with exact resume, and structured
+    telemetry (``metrics``)."""
 
     mesh: Mesh
     model_cfg: ModelConfig
@@ -227,6 +230,10 @@ class Trainer:
     loss_variant: str = "prepos"
     query_key: str = "conv_qp"
     save_fn: Optional[Callable[[EncoderParams, int], None]] = None
+    state_ckpt_dir: str = ""
+    state_ckpt_every: int = 0
+    resume: bool = False
+    metrics: Any = None  # utils.telemetry.MetricsLogger
 
     def fit(self, params, frozen_params, examples, collate_batches=None):
         from haconvdr_tpu.data.loader import batch_iter, num_batches
@@ -242,6 +249,13 @@ class Trainer:
             loss_variant=self.loss_variant, query_key=self.query_key,
         )
         state = init_train_state(params, optimizer, seed=cfg.seed)
+        if self.resume and self.state_ckpt_dir:
+            from haconvdr_tpu.train.checkpoint import latest_step, restore_train_state
+
+            step_no = latest_step(self.state_ckpt_dir)
+            if step_no is not None:
+                state = restore_train_state(self.state_ckpt_dir, state, step_no)
+                logger.info("resumed train state from step %d", step_no)
         frozen = jax.tree_util.tree_map(jnp.asarray, frozen_params)
 
         best_loss = float("inf")
@@ -267,8 +281,21 @@ class Trainer:
                         "epoch %d step %d loss %.5f total %.2f (%.1fs)",
                         epoch + 1, global_micro, loss, total_loss, time.time() - t0,
                     )
+                if self.metrics is not None:
+                    self.metrics.log(
+                        "train_step", epoch=epoch + 1, micro_step=global_micro,
+                        loss=loss,
+                    )
                 if loss < best_loss:  # per-batch best, ":206-208"
                     best_loss = loss
                     if self.save_fn is not None:
                         self.save_fn(state.params, global_micro)
+                if (
+                    self.state_ckpt_dir
+                    and self.state_ckpt_every > 0
+                    and global_micro % self.state_ckpt_every == 0
+                ):
+                    from haconvdr_tpu.train.checkpoint import save_train_state
+
+                    save_train_state(self.state_ckpt_dir, global_micro, state)
         return state, best_loss
