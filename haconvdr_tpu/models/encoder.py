@@ -143,20 +143,21 @@ def _attention(
     k = split_heads(_dense(x, p["key"], dtype))
     v = split_heads(_dense(x, p["value"], dtype))
 
-    if use_flash and rng is None and attention_mask is not None:
-        # fused Pallas flash attention: padded keys masked via segment ids
-        # (pads sit in segment 0, real tokens in segment 1)
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            SegmentIds,
-            flash_attention,
-        )
+    from haconvdr_tpu.ops.fused_attention import fused_attention_supported
 
-        seg = attention_mask.astype(jnp.int32)
-        ctx = flash_attention(
-            q.astype(dtype), k.astype(dtype), v.astype(dtype),
-            segment_ids=SegmentIds(seg, seg), sm_scale=1.0 / math.sqrt(d),
-        )
-        ctx = ctx.astype(jnp.float32)
+    if (
+        use_flash
+        and rng is None
+        and attention_mask is not None
+        and fused_attention_supported(L, d)
+    ):
+        # fused short-sequence attention kernel (ops/fused_attention.py):
+        # QK^T -> bias -> softmax -> PV entirely in VMEM per batch row
+        from haconvdr_tpu.ops.fused_attention import fused_attention
+
+        ctx = fused_attention(
+            q.astype(dtype), k.astype(dtype), v.astype(dtype), attention_mask
+        ).astype(jnp.float32)
     else:
         acc = _acc_dtype(dtype)
         scores = jnp.einsum(

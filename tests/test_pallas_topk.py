@@ -75,3 +75,51 @@ def test_block_searcher_pallas_flag_matches_xla(rng):
     s2, i2 = pal.search(q, [(p, ids)])
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_fused_attention_interpret_matches_xla(rng):
+    import math
+
+    from haconvdr_tpu.ops.fused_attention import fused_attention
+
+    B, H, L, d = 2, 3, 128, 64
+    q = rng.randn(B, H, L, d).astype(np.float32)
+    k = rng.randn(B, H, L, d).astype(np.float32)
+    v = rng.randn(B, H, L, d).astype(np.float32)
+    mask = np.ones((B, L), np.int32)
+    mask[:, 100:] = 0
+
+    out = np.asarray(
+        fused_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+            interpret=True,
+        )
+    )
+    bias = (1.0 - mask.astype(np.float32))[:, None, None, :] * -1e9
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d) + bias
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_encoder_flash_flag_matches_exact(rng):
+    from haconvdr_tpu.config import ModelConfig
+    from haconvdr_tpu.models.encoder import encode, init_encoder_params
+
+    # interpret-mode pallas isn't routed through encode(); on CPU the flag
+    # path would invoke a TPU kernel, so emulate by checking flag fallback:
+    # with dropout rng present the exact path is used regardless of flag.
+    cfg = ModelConfig.tiny()
+    cfg.use_flash_attention = True
+    cfg.hidden_dropout_prob = 0.0
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(rng.randint(4, cfg.vocab_size, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    # L=8 unsupported by the kernel -> exercised only on TPU shapes; here we
+    # just assert the support predicate gates correctly
+    from haconvdr_tpu.ops.fused_attention import fused_attention_supported
+
+    assert not fused_attention_supported(8, 8)
+    assert fused_attention_supported(384, 64)
+    assert fused_attention_supported(512, 64)
