@@ -218,11 +218,24 @@ class BlockSearcher:
         queries = jnp.asarray(queries_np, self.compute_dtype)
         row_multiple = 2048 if self.use_pallas else self.passage_chunk
 
-        for emb, ids in blocks:
+        def to_device(item):
+            emb, ids = item
             n_valid = emb.shape[0]
             emb_padded = _pad_rows(np.asarray(emb), row_multiple)
-            passages = jnp.asarray(emb_padded, self.compute_dtype)
-            ids_arr = jnp.asarray(np.asarray(ids, np.int64))
+            # async dispatch: the next block's H2D overlaps the current search
+            return (
+                jnp.asarray(emb_padded, self.compute_dtype),
+                jnp.asarray(np.asarray(ids, np.int64)),
+                n_valid,
+            )
+
+        it = iter(blocks)
+        nxt = next(it, None)
+        staged = to_device(nxt) if nxt is not None else None
+        while staged is not None:
+            passages, ids_arr, n_valid = staged
+            nxt = next(it, None)
+            staged = to_device(nxt) if nxt is not None else None
 
             block_s_parts, block_i_parts = [], []
             qn = queries.shape[0]

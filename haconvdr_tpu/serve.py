@@ -1,0 +1,162 @@
+"""End-user serving API: conversational query -> top-k passages.
+
+The reference exposes retrieval only through batch evaluation scripts; this
+wraps the same machinery as a reusable object for interactive / production
+use: load a trained ANCE checkpoint + an embedding store once, then answer
+(conversation state -> ranked pids) queries with the fused TPU search path.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from haconvdr_tpu.config import DataConfig, SearchConfig
+from haconvdr_tpu.data.loader import batch_iter
+from haconvdr_tpu.data.sequence import ConcatBuilder, encode_no_trunc, pad_seq_to_length
+from haconvdr_tpu.index.store import EmbeddingBlockStore
+from haconvdr_tpu.ops.topk import BlockSearcher
+from haconvdr_tpu.parallel.mesh import make_mesh
+from haconvdr_tpu.parallel.sharded_encode import (
+    encode_batches,
+    make_sharded_encode_fn,
+    shard_params,
+)
+from haconvdr_tpu.parallel.sharded_search import ShardedIndex
+
+logger = logging.getLogger(__name__)
+
+
+class Retriever:
+    """query encoder + index, resident on the mesh.
+
+    ``resident=True`` loads the whole store into device HBM as a
+    ShardedIndex (fastest; needs the corpus to fit, use bf16 for 54M-scale);
+    ``resident=False`` streams blocks per search (BlockSearcher).
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        params,
+        model_cfg,
+        store: EmbeddingBlockStore,
+        offset2pid: Optional[Sequence[int]] = None,
+        data_cfg: Optional[DataConfig] = None,
+        search_cfg: Optional[SearchConfig] = None,
+        resident: bool = True,
+        store_dtype: str = "float32",
+    ):
+        self.tokenizer = tokenizer
+        self.model_cfg = model_cfg
+        self.data_cfg = data_cfg or DataConfig(is_train=False, use_PRL=False)
+        self.search_cfg = search_cfg or SearchConfig()
+        self.mesh = make_mesh()
+        self.params = shard_params(self.mesh, params)
+        self._encode = make_sharded_encode_fn(self.mesh, self.model_cfg)
+        self.offset2pid = offset2pid
+
+        if resident:
+            self.index: object = ShardedIndex.from_store(
+                self.mesh, store, dtype=store_dtype
+            )
+            self.store = None
+        else:
+            self.index = None
+            self.store = store
+            self.searcher = BlockSearcher(
+                top_k=self.search_cfg.top_k,
+                passage_chunk=self.search_cfg.passage_chunk,
+            )
+
+    @classmethod
+    def load(
+        cls,
+        checkpoint_path: str,
+        embeddings_dir: str,
+        model_type: str = "ANCE",
+        **kw,
+    ) -> "Retriever":
+        from haconvdr_tpu.models.hf_import import load_model
+
+        tokenizer, encoder = load_model(model_type + "_Query", checkpoint_path)
+        store = EmbeddingBlockStore.open_auto(embeddings_dir)
+        return cls(tokenizer, encoder.params, encoder.cfg, store, **kw)
+
+    # -- query construction -------------------------------------------------
+    def build_query(
+        self,
+        question: str,
+        history: Optional[Sequence[Tuple[str, str]]] = None,
+        history_passages: Optional[Sequence[str]] = None,
+    ) -> Dict:
+        """Conversational convqp-style input: current question, prior
+        (question, answer) turns, optional prior gold/selected passages —
+        the serving analog of the convqp eval concat (src/data.py:97-127)."""
+        d = self.data_cfg
+        builder = ConcatBuilder(d.max_concat_length)
+        builder.ids.extend(
+            encode_no_trunc(self.tokenizer, question, d.max_query_length)
+        )
+        history = list(history or [])
+        history_passages = list(history_passages or [])
+        for t in range(len(history) - 1, -1, -1):
+            if t < len(history_passages) and history_passages[t]:
+                if not builder.add(
+                    encode_no_trunc(self.tokenizer, history_passages[t], d.max_doc_length)
+                ):
+                    break
+            hq, ha = history[t]
+            if ha and not builder.add(
+                encode_no_trunc(self.tokenizer, ha, d.max_response_length)
+            ):
+                break
+            if not builder.add(
+                encode_no_trunc(self.tokenizer, hq, d.max_query_length)
+            ):
+                break
+        ids, mask = builder.padded()
+        return {"sample_id": "q", "conv_qp": ids, "conv_qp_mask": mask}
+
+    # -- retrieval -----------------------------------------------------------
+    def embed(self, examples: List[Dict]) -> np.ndarray:
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        bs = max(n_dev, self.search_cfg.per_device_test_batch_size * n_dev)
+        embs, _ = encode_batches(
+            self._encode, self.params,
+            batch_iter(examples, min(bs, max(len(examples), n_dev))),
+            self.mesh, "conv_qp", "conv_qp_mask",
+        )
+        return embs
+
+    def search(
+        self, query_embs: np.ndarray, k: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        k = k or self.search_cfg.top_k
+        if self.index is not None:
+            scores, ids = self.index.search(query_embs, k)
+        else:
+            scores, ids = self.searcher.search(
+                query_embs, self.store.iter_blocks(self.search_cfg.passage_block_num)
+            )
+        if self.offset2pid is not None:
+            safe = np.clip(ids, 0, len(self.offset2pid) - 1)
+            ids = np.where(
+                ids >= 0, np.asarray(self.offset2pid)[safe], -1
+            )
+        return scores, ids
+
+    def retrieve(
+        self,
+        question: str,
+        history: Optional[Sequence[Tuple[str, str]]] = None,
+        history_passages: Optional[Sequence[str]] = None,
+        k: Optional[int] = None,
+    ) -> List[Tuple[int, float]]:
+        """One conversational query -> [(pid, score)] ranked."""
+        ex = self.build_query(question, history, history_passages)
+        embs = self.embed([ex])
+        scores, ids = self.search(embs, k)
+        return [(int(p), float(s)) for p, s in zip(ids[0], scores[0]) if p >= 0]

@@ -203,3 +203,32 @@ def test_prj_labeling_flow(pipeline):
     assert rel["7-1"] == []
     assert rel["8-1"] == []
     assert rel["8-2"] in ([0], [1])  # structure; value is model-dependent
+
+
+def test_retriever_serving_api(pipeline):
+    """Retriever: conversational query -> ranked pids via the resident
+    sharded index; exact-token query must return its passage at rank 1."""
+    tmp, tok, mcfg, params, corpus, mesh = pipeline
+    from haconvdr_tpu.config import DataConfig, SearchConfig
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+    from haconvdr_tpu.serve import Retriever
+
+    store = EmbeddingBlockStore(str(tmp / "embeds"))
+    r = Retriever(
+        tok, params, mcfg, store,
+        offset2pid=corpus.offset2pid(),
+        data_cfg=DataConfig(
+            is_train=False, use_PRL=False,
+            max_query_length=16, max_doc_length=16, max_concat_length=24,
+        ),
+        search_cfg=SearchConfig(top_k=5, per_device_test_batch_size=1),
+        resident=True,
+    )
+    hits = r.retrieve(_passage_text(21))
+    assert hits[0][0] == 21
+    # history-aware query shape-check
+    hits2 = r.retrieve(
+        "follow up", history=[("earlier q", "earlier a")],
+        history_passages=[_passage_text(7)], k=3,
+    )
+    assert len(hits2) == 3
