@@ -214,6 +214,27 @@ def encode_corpus(
         emb_buf, id_buf, buffered = [], [], 0
 
     L = corpus.max_seq_length
+    # Keep several batches in flight: device compute, D2H transfer, and
+    # host-side block assembly overlap (jax dispatch is async; a per-batch
+    # np.asarray sync would serialize the whole stream).
+    from collections import deque
+
+    inflight: deque = deque()
+    PIPELINE_DEPTH = 8
+
+    def drain(limit: int) -> None:
+        nonlocal buffered
+        while len(inflight) > limit:
+            emb_dev, offs, n = inflight.popleft()
+            emb = np.asarray(emb_dev)[:n]
+            if dtype is not None and emb.dtype != dtype:
+                emb = emb.astype(dtype)
+            emb_buf.append(emb)
+            id_buf.append(offs)
+            buffered += n
+            if buffered >= block_rows:
+                flush()
+
     for offsets, ids, mask in corpus.batches(batch_size, stride=stride, offset=offset):
         n = len(offsets)
         if n < batch_size:  # pad tail to the static batch shape
@@ -221,14 +242,14 @@ def encode_corpus(
             ids = np.concatenate([ids, np.zeros((pad, L), np.int32)])
             mask = np.concatenate([mask, np.zeros((pad, L), np.int32)])
             mask[n:, 0] = 1  # avoid fully-masked rows
-        emb = np.asarray(encode_fn(params, jnp.asarray(ids), jnp.asarray(mask)))[:n]
-        if dtype is not None and emb.dtype != dtype:
-            emb = emb.astype(dtype)
-        emb_buf.append(emb)
-        id_buf.append(np.asarray(offsets, np.int64))
-        buffered += n
-        if buffered >= block_rows:
-            flush()
+        emb_dev = encode_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+        try:
+            emb_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        inflight.append((emb_dev, np.asarray(offsets, np.int64), n))
+        drain(PIPELINE_DEPTH)
+    drain(0)
     flush()
     logger.info("encoded %d passages total", total)
     return store

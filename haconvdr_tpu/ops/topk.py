@@ -210,7 +210,8 @@ class BlockSearcher:
         k = self.top_k
         Q = query_embs.shape[0]
         best_s = jnp.full((Q, k), NEG_INF, jnp.float32)
-        best_ids = jnp.full((Q, k), -1, jnp.int64)
+        # int32 offsets: corpora up to 2^31 rows (reference max 54.6M)
+        best_ids = jnp.full((Q, k), -1, jnp.int32)
 
         queries_np = np.asarray(query_embs)
         if self.use_pallas:  # pallas grid needs whole query tiles
@@ -222,10 +223,12 @@ class BlockSearcher:
             emb, ids = item
             n_valid = emb.shape[0]
             emb_padded = _pad_rows(np.asarray(emb), row_multiple)
+            ids = np.asarray(ids)
+            assert ids.size == 0 or int(ids.max()) < 2**31, "ids exceed int32"
             # async dispatch: the next block's H2D overlaps the current search
             return (
                 jnp.asarray(emb_padded, self.compute_dtype),
-                jnp.asarray(np.asarray(ids, np.int64)),
+                jnp.asarray(ids.astype(np.int32)),
                 n_valid,
             )
 
