@@ -42,8 +42,15 @@ def main(argv=None):
     tokenizer, encoder = load_model(
         cfg.model.model_type + "_Query", cfg.model.pretrained_encoder_path
     )
+    remat, use_flash = cfg.model.remat, cfg.model.use_flash_attention
     cfg.model = encoder.cfg
-    params = encoder.params
+    cfg.model.remat = remat
+    cfg.model.use_flash_attention = use_flash
+    from haconvdr_tpu.models.encoder import stack_layer_params, unstack_layer_params
+
+    # stacked layer layout: the train step compiles one scanned layer
+    # instead of num_layers unrolled copies
+    params = stack_layer_params(encoder.params)
     frozen = params  # frozen passage tower starts from the same checkpoint
 
     if cfg.data.dataset == "topiocqa":
@@ -63,7 +70,7 @@ def main(argv=None):
     out_dir = os.path.join(cfg.train.model_output_path, checkpoint_name(cfg))
 
     def save(p, step):
-        save_hf_checkpoint(p, cfg.model, out_dir)
+        save_hf_checkpoint(unstack_layer_params(p), cfg.model, out_dir)
         tokenizer.save_pretrained(out_dir)
         logger.info("step %d: checkpoint saved at %s", step, out_dir)
 

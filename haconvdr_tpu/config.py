@@ -96,6 +96,11 @@ class ModelConfig:
     # encoding.  Falls back to exact XLA attention off-TPU or when
     # attention-probs dropout is active.
     use_flash_attention: bool = False
+    # rematerialize each transformer layer in the backward pass
+    # (jax.checkpoint): trades ~30% recompute for dropping the O(B H L^2)
+    # saved attention probs — required to fit batch-64 x 512-token training
+    # on one 16 GB chip.
+    remat: bool = False
 
     @classmethod
     def tiny(cls, **kw) -> "ModelConfig":

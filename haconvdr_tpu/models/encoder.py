@@ -187,14 +187,18 @@ def encoder_hidden_states(
     branches); None = eval mode (the reference's frozen/no-grad towers)."""
     dtype = jnp.dtype(cfg.dtype)
     hd, ad = cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob
-    rngs = iter(
-        jax.random.split(dropout_rng, 1 + 3 * len(params["layers"]))
-        if dropout_rng is not None
-        else []
+    layers = params["layers"]
+    stacked = isinstance(layers, dict)
+    n_layers = (
+        jax.tree_util.tree_leaves(layers)[0].shape[0] if stacked else len(layers)
     )
-
-    def next_rng():
-        return next(rngs) if dropout_rng is not None else None
+    if dropout_rng is not None:
+        all_keys = jax.random.split(dropout_rng, 1 + 3 * n_layers)
+        emb_key = all_keys[0]
+        layer_keys = all_keys[1:].reshape(n_layers, 3, -1)
+    else:
+        emb_key = None
+        layer_keys = None
 
     emb = params["embeddings"]
     if cfg.model_type.upper().startswith("BERT"):
@@ -208,21 +212,49 @@ def encoder_hidden_states(
         + emb["token_type_embeddings"][jnp.zeros_like(input_ids)]
     )
     x = _layer_norm(x, emb["layer_norm"], cfg.layer_norm_eps)
-    x = _dropout(x, hd, next_rng())
+    x = _dropout(x, hd, emb_key)
 
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
-    for layer in params["layers"]:
+    def layer_fn(x, layer, rng_a, rng_b, rng_c):
         attn_out = _attention(
             x, mask_bias, layer["attention"], cfg.num_attention_heads, dtype,
-            attn_drop=ad, rng=next_rng(),
+            attn_drop=ad, rng=rng_a,
             use_flash=cfg.use_flash_attention, attention_mask=attention_mask,
         )
-        attn_out = _dropout(attn_out, hd, next_rng())
+        attn_out = _dropout(attn_out, hd, rng_b)
         x = _layer_norm(x + attn_out, layer["attention"]["output_layer_norm"], cfg.layer_norm_eps)
         inter = jax.nn.gelu(_dense(x, layer["intermediate"], dtype), approximate=False)
-        out = _dropout(_dense(inter, layer["output"], dtype), hd, next_rng())
-        x = _layer_norm(x + out, layer["output_layer_norm"], cfg.layer_norm_eps)
+        out = _dropout(_dense(inter, layer["output"], dtype), hd, rng_c)
+        return _layer_norm(x + out, layer["output_layer_norm"], cfg.layer_norm_eps)
+
+    if cfg.remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
+    if stacked:
+        # stacked layout ([num_layers, ...] leaves): one lax.scan instance
+        # instead of num_layers unrolled copies — compiles ~12x smaller
+        # programs for base-size training (see stack_layer_params)
+        if layer_keys is not None:
+
+            def body(x, xs):
+                layer, lk = xs
+                return layer_fn(x, layer, lk[0], lk[1], lk[2]), None
+
+            x, _ = jax.lax.scan(body, x, (layers, layer_keys))
+        else:
+
+            def body(x, layer):
+                return layer_fn(x, layer, None, None, None), None
+
+            x, _ = jax.lax.scan(body, x, layers)
+        return x
+
+    for li, layer in enumerate(layers):
+        if layer_keys is not None:
+            x = layer_fn(x, layer, layer_keys[li, 0], layer_keys[li, 1], layer_keys[li, 2])
+        else:
+            x = layer_fn(x, layer, None, None, None)
     return x
 
 
@@ -253,6 +285,34 @@ def encode(
         pooled = hidden[:, 0]
     proj = _dense(pooled, params["embedding_head"], jnp.dtype(cfg.dtype))
     return _layer_norm(proj, params["norm"], 1e-5)
+
+
+def stack_layer_params(params: EncoderParams) -> EncoderParams:
+    """list-of-layer-dicts -> one dict with [num_layers, ...] leaves.
+
+    The stacked layout drives the lax.scan path of encoder_hidden_states:
+    the compiled program contains ONE layer instance instead of
+    ``num_layers`` unrolled copies, which keeps base-size training programs
+    small enough to compile quickly.  Checkpoint interop
+    (models/hf_import.py) uses the list layout; convert at load time.
+    """
+    layers = params["layers"]
+    if isinstance(layers, dict):
+        return params
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return {**params, "layers": stacked}
+
+
+def unstack_layer_params(params: EncoderParams) -> EncoderParams:
+    """Inverse of stack_layer_params (for HF export)."""
+    layers = params["layers"]
+    if not isinstance(layers, dict):
+        return params
+    n = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    unstacked = [
+        jax.tree_util.tree_map(lambda a, i=i: a[i], layers) for i in range(n)
+    ]
+    return {**params, "layers": unstacked}
 
 
 class AnceEncoder:

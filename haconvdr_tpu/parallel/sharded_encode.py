@@ -30,20 +30,29 @@ def encoder_param_pspecs(params: EncoderParams) -> EncoderParams:
     (embeddings, LayerNorms, biases of row-sharded layers) replicated.
     """
 
-    def layer_spec(_layer) -> Dict[str, Any]:
-        col = {"kernel": P(None, "tp"), "bias": P("tp")}
-        row = {"kernel": P("tp", None), "bias": P()}
+    stacked = isinstance(params["layers"], dict)
+
+    def layer_spec(_layer=None) -> Dict[str, Any]:
+        # stacked layout carries a leading num_layers axis on every leaf
+        if stacked:
+            col = {"kernel": P(None, None, "tp"), "bias": P(None, "tp")}
+            row = {"kernel": P(None, "tp", None), "bias": P(None)}
+            ln = {"scale": P(None), "bias": P(None)}
+        else:
+            col = {"kernel": P(None, "tp"), "bias": P("tp")}
+            row = {"kernel": P("tp", None), "bias": P()}
+            ln = {"scale": P(), "bias": P()}
         return {
             "attention": {
                 "query": dict(col),
                 "key": dict(col),
                 "value": dict(col),
                 "output": dict(row),
-                "output_layer_norm": {"scale": P(), "bias": P()},
+                "output_layer_norm": dict(ln),
             },
             "intermediate": dict(col),
             "output": dict(row),
-            "output_layer_norm": {"scale": P(), "bias": P()},
+            "output_layer_norm": dict(ln),
         }
 
     return {
@@ -53,7 +62,7 @@ def encoder_param_pspecs(params: EncoderParams) -> EncoderParams:
             "token_type_embeddings": P(),
             "layer_norm": {"scale": P(), "bias": P()},
         },
-        "layers": [layer_spec(l) for l in params["layers"]],
+        "layers": layer_spec() if stacked else [layer_spec(l) for l in params["layers"]],
         "embedding_head": {"kernel": P(), "bias": P()},
         "norm": {"scale": P(), "bias": P()},
     }

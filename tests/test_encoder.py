@@ -167,3 +167,36 @@ def test_dropout_semantics(rng):
     cfg0 = ModelConfig.tiny()  # zero rates: rng must be a no-op
     z = np.asarray(encode(params, cfg0, ids, mask, dropout_rng=k1))
     np.testing.assert_array_equal(z, eval_out)
+
+
+def test_stacked_layers_match_list_layout(rng):
+    from haconvdr_tpu.models.encoder import stack_layer_params, unstack_layer_params
+
+    cfg = ModelConfig.tiny()
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    ids, mask = _batch(rng)
+    ref = np.asarray(encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+
+    stacked = stack_layer_params(params)
+    out = np.asarray(encode(stacked, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    # remat path over the scan
+    cfg_r = ModelConfig.tiny()
+    cfg_r.remat = True
+    out_r = np.asarray(encode(stacked, cfg_r, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(out_r, ref, rtol=1e-6, atol=1e-6)
+
+    # dropout over the scan: deterministic per key, differs from eval
+    cfg_d = ModelConfig.tiny()
+    cfg_d.hidden_dropout_prob = 0.2
+    k = jax.random.PRNGKey(3)
+    d1 = np.asarray(encode(stacked, cfg_d, jnp.asarray(ids), jnp.asarray(mask), dropout_rng=k))
+    d2 = np.asarray(encode(stacked, cfg_d, jnp.asarray(ids), jnp.asarray(mask), dropout_rng=k))
+    np.testing.assert_array_equal(d1, d2)
+    assert not np.allclose(d1, ref)
+
+    # roundtrip back to list layout
+    back = unstack_layer_params(stacked)
+    out_b = np.asarray(encode(back, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(out_b, ref, rtol=1e-7)
