@@ -81,6 +81,9 @@ def build_query(
 
 def main(argv=None):
     setup_logging()
+    from haconvdr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     assert argv and argv[0] in ("index", "search"), "first arg: index|search"
     cmd = argv[0]

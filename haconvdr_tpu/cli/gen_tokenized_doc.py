@@ -13,6 +13,9 @@ from haconvdr_tpu.utils.io import setup_logging
 
 def main(argv=None):
     setup_logging()
+    from haconvdr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = config_from_argv(argv)
 
     def tokenizer_factory(path=cfg.model.pretrained_encoder_path,

@@ -20,6 +20,9 @@ logger = logging.getLogger(__name__)
 
 def main(argv=None):
     setup_logging()
+    from haconvdr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     extra = {}
     rest = []

@@ -23,6 +23,9 @@ logger = logging.getLogger(__name__)
 
 def main(argv=None):
     setup_logging()
+    from haconvdr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = config_from_argv(argv)
     set_seed(cfg.data.seed)
     cfg.data.is_train = False

@@ -35,6 +35,9 @@ def checkpoint_name(cfg) -> str:
 
 def main(argv=None):
     setup_logging()
+    from haconvdr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = config_from_argv(argv)
     set_seed(cfg.train.seed)
     cfg.data.is_train = True

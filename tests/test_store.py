@@ -1,0 +1,95 @@
+"""Index store tests: native layouts, reference-format interop, integrity."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from haconvdr_tpu.index.store import (
+    EmbeddingBlockStore,
+    ReferenceEmbeddingCacheReader,
+    TokenizedCorpus,
+    TokenizedCorpusWriter,
+)
+
+
+def test_tokenized_corpus_roundtrip(tmp_path, rng):
+    w = TokenizedCorpusWriter(str(tmp_path / "corpus"), max_seq_length=8)
+    recs = [(17, [1, 2, 3]), (42, [4, 5, 6, 7, 8, 9, 10, 11, 12]), (3, [9])]
+    for pid, ids in recs:
+        w.add(pid, ids)
+    w.finalize()
+
+    c = TokenizedCorpus(str(tmp_path / "corpus"))
+    assert len(c) == 3
+    np.testing.assert_array_equal(c.pids, [17, 42, 3])
+    np.testing.assert_array_equal(c.lengths, [3, 8, 1])
+    np.testing.assert_array_equal(c.tokens[0], [1, 2, 3, 0, 0, 0, 0, 0])
+    np.testing.assert_array_equal(c.tokens[1], [4, 5, 6, 7, 8, 9, 10, 11])
+    assert c.offset2pid() == [17, 42, 3]
+
+    batches = list(c.batches(2))
+    assert len(batches) == 2
+    offs, ids, mask = batches[0]
+    np.testing.assert_array_equal(offs, [0, 1])
+    np.testing.assert_array_equal(mask[0], [1, 1, 1, 0, 0, 0, 0, 0])
+
+
+def test_tokenized_corpus_rank_mod_sharding(tmp_path):
+    w = TokenizedCorpusWriter(str(tmp_path / "c"), max_seq_length=4)
+    for pid in range(10):
+        w.add(pid, [pid])
+    w.finalize()
+    c = TokenizedCorpus(str(tmp_path / "c"))
+    offs = np.concatenate([o for o, _, _ in c.batches(3, stride=3, offset=1)])
+    np.testing.assert_array_equal(offs, [1, 4, 7])
+
+
+def test_reference_embedding_cache_reader(tmp_path):
+    """Read the reference's byte-record format: len(4B big-endian) +
+    int32 ids[max_seq] (gen_tokenized_doc.py:161-183)."""
+    base = str(tmp_path / "passages")
+    L = 6
+    records = [([5, 6, 7], 3), ([1] * 6, 6)]
+    with open(base, "wb") as f:
+        for ids, n in records:
+            padded = np.zeros(L, np.int32)
+            padded[: len(ids)] = ids
+            f.write(int(n).to_bytes(4, "big") + padded.tobytes())
+    with open(base + "_meta", "w") as f:
+        json.dump({"type": "int32", "total_number": 2, "embedding_size": L}, f)
+
+    r = ReferenceEmbeddingCacheReader(base)
+    assert r.total_number == 2
+    batches = list(r.batches(10))
+    offs, ids, mask = batches[0]
+    np.testing.assert_array_equal(ids[0], [5, 6, 7, 0, 0, 0])
+    np.testing.assert_array_equal(mask[0], [1, 1, 1, 0, 0, 0])
+    np.testing.assert_array_equal(mask[1], [1] * 6)
+
+
+def test_block_store_pickle_interop(tmp_path, rng):
+    """Reference pickle blocks (passage_emb_block_*.pb) read/write."""
+    emb = rng.randn(5, 4).astype(np.float32)
+    ids = np.arange(5, dtype=np.int64)
+    w = EmbeddingBlockStore(str(tmp_path / "blk"), fmt="pickle")
+    w.write_block(0, emb, ids)
+    assert os.path.exists(tmp_path / "blk" / "passage_emb_block_0.pb")
+
+    r = EmbeddingBlockStore.open_auto(str(tmp_path / "blk"))
+    assert r.fmt == "pickle"
+    e2, i2 = r.read_block(0)
+    np.testing.assert_array_equal(e2, emb)
+    np.testing.assert_array_equal(i2, ids)
+
+
+def test_block_store_missing_middle_block_raises(tmp_path, rng):
+    store = EmbeddingBlockStore(str(tmp_path / "blk"))
+    store.write_block(0, rng.randn(3, 4).astype(np.float32), np.arange(3))
+    store.write_block(2, rng.randn(3, 4).astype(np.float32), np.arange(3))
+    # declared 3 blocks but block 1 missing -> raise, never silently truncate
+    with pytest.raises(FileNotFoundError):
+        list(store.iter_blocks(3))
+    # auto mode stops at the contiguous prefix
+    assert store.num_blocks() == 1
