@@ -11,7 +11,7 @@ Replaces the reference's DataLoader + per-dataset collate_fns
 from __future__ import annotations
 
 import random
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 

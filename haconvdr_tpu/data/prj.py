@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 import random
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from haconvdr_tpu.config import DataConfig
 from haconvdr_tpu.data.sequence import encode_no_trunc, pad_seq_to_length

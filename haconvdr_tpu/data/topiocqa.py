@@ -22,8 +22,7 @@ from __future__ import annotations
 
 import json
 import random
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 from haconvdr_tpu.config import DataConfig
 from haconvdr_tpu.data.sequence import (

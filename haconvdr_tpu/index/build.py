@@ -21,11 +21,11 @@ import logging
 import os
 import time
 from multiprocessing import Pool
-from typing import Iterable, Iterator, List, Optional, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
-from haconvdr_tpu.config import IndexConfig, ModelConfig
+from haconvdr_tpu.config import IndexConfig
 from haconvdr_tpu.index.store import (
     EmbeddingBlockStore,
     TokenizedCorpus,

@@ -20,7 +20,7 @@ parity is covered by tests and the bf16 path is opt-in.
 from __future__ import annotations
 
 import functools
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ import json
 import logging
 import os
 import sys
-from typing import Dict, Iterable, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 logger = logging.getLogger(__name__)
 

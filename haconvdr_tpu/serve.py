@@ -15,7 +15,7 @@ import numpy as np
 
 from haconvdr_tpu.config import DataConfig, SearchConfig
 from haconvdr_tpu.data.loader import batch_iter
-from haconvdr_tpu.data.sequence import ConcatBuilder, encode_no_trunc, pad_seq_to_length
+from haconvdr_tpu.data.sequence import ConcatBuilder, encode_no_trunc
 from haconvdr_tpu.index.store import EmbeddingBlockStore
 from haconvdr_tpu.ops.topk import BlockSearcher
 from haconvdr_tpu.parallel.mesh import make_mesh
