@@ -143,6 +143,22 @@ def main(argv=None):
                 total += 1
     logger.info("wrote %d lines to %s", total, out_path)
 
+    if cfg.search.trec_gold_qrel_file_path:
+        # metric printout + per-turn MRR breakdown (context_affect,
+        # bm25/bm25_qrecc.py:173-244)
+        from haconvdr_tpu.eval.analysis import metric_by_turn
+        from haconvdr_tpu.eval.metrics import trec_metrics
+        from haconvdr_tpu.eval.trec import read_qrels, read_run
+
+        runs = read_run(out_path)
+        qrels, qrels_ndcg = read_qrels(
+            cfg.search.trec_gold_qrel_file_path, cfg.search.rel_threshold
+        )
+        res, per_q = trec_metrics(runs, qrels, qrels_ndcg)
+        logger.info("BM25 evaluation: %s", res)
+        by_turn = metric_by_turn({q: m["recip_rank"] for q, m in per_q.items()})
+        logger.info("MRR by turn depth: %s", by_turn)
+
 
 if __name__ == "__main__":
     main()

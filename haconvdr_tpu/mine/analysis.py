@@ -160,6 +160,28 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# question-word heuristics for natural-language query formatting
+# (src/utils.py:279-296)
+QUESTION_WORD_LIST = [
+    "what", "when", "why", "who", "how", "where", "whose", "which",
+    "is", "are", "were", "was", "do", "does", "did", "can",
+]
+
+
+def is_nl_query(query: str) -> bool:
+    return any(query.lower().startswith(w) for w in QUESTION_WORD_LIST)
+
+
+def format_nl_query(query: str) -> str:
+    """Capitalize and re-punctuate a query: '?' if it reads as a question,
+    '.' otherwise (src/utils.py:288-296)."""
+    query = query.replace("?", "").replace("\\", "").replace('"', "")
+    if not query:
+        return query
+    suffix = "?" if is_nl_query(query) else "."
+    return query[0].upper() + query[1:] + suffix
+
+
 def analyze(text: str, stopwords: bool = True, stemming: bool = True) -> List[str]:
     """Lucene-English-like analysis: lowercase alnum tokens, stop removal,
     Porter stemming."""
