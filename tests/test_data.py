@@ -323,3 +323,25 @@ def test_topiocqa_expanded_train_builder(tmp_path):
     assert gold2 == tok.encode("gold two")
     neg2 = [t for t, m in zip(ex[3]["neg_docs"], ex[3]["neg_docs_mask"]) if m]
     assert neg2 == tok.encode("neg two")  # first bm25 neg for the gold example
+
+
+def test_qrecc_multineg_builder(tmp_path):
+    from haconvdr_tpu.data.qrecc import build_qrecc_multineg_examples
+
+    tok = FakeTokenizer()
+    cfg = DataConfig(
+        dataset="qrecc", max_query_length=8, max_doc_length=8,
+        max_response_length=8, max_concat_length=32, use_PRL=False, is_train=True,
+    )
+    rec = {
+        "sample_id": "Q_1_1", "cur_utt_text": "q one", "cur_response_text": "a",
+        "ctx_utts_text": [], "pos_docs_text": ["pos doc"],
+        "rel_label": [], "bm25_hard_neg_docs": ["n1", "n2", "n3", "n4"],
+    }
+    p = tmp_path / "f.json"
+    p.write_text(json.dumps(rec) + "\n")
+    ex = build_qrecc_multineg_examples(cfg, tok, str(p), num_negs=3)
+    assert ex[0]["num_negs"] == 3
+    assert np.asarray(ex[0]["neg_docs"]).shape == (3, cfg.max_doc_length)
+    n0 = [t for t, m in zip(ex[0]["neg_docs"][0], ex[0]["neg_docs_mask"][0]) if m]
+    assert n0 == tok.encode("n1")

@@ -261,3 +261,18 @@ def test_trainer_fit_smoke(rng):
     assert np.isfinite(best)
     assert len(saves) >= 1
     assert int(state.global_step) >= 1
+
+
+def test_ranking_loss_multi_negative(rng):
+    """R negatives per example ([B, R, D]) — the Retrieval_qrecc_negs
+    variant's loss shape (src/train_HAConvDR_qrecc.py:49-58 comment path)."""
+    B, R, D = 4, 3, 8
+    q = rng.randn(B, D).astype(np.float32)
+    pos = rng.randn(B, D).astype(np.float32)
+    negs = rng.randn(B, R, D).astype(np.float32)
+    ours = float(ranking_loss(jnp.asarray(q), jnp.asarray(pos), jnp.asarray(negs)))
+    qt, post, negt = map(torch.from_numpy, (q, pos, negs))
+    neg_scores = (qt.unsqueeze(1) * negt).sum(-1)  # [B, R]
+    score = torch.cat([qt @ post.T, neg_scores], dim=1)
+    ref = float(torch.nn.functional.cross_entropy(score, torch.arange(B)))
+    assert abs(ours - ref) < 1e-5
