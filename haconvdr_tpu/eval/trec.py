@@ -44,6 +44,8 @@ def dedup_ranked_candidates(
         for idx, score in zip(
             retrieved_offsets[qi][:top_n], retrieved_scores[qi][:top_n]
         ):
+            if int(idx) < 0:  # unfilled slot (corpus smaller than top_n)
+                continue
             pid = offset2pid[int(idx)] if offset2pid is not None else int(idx)
             if pid in seen:
                 continue

@@ -116,10 +116,18 @@ class ShardedIndex:
         self.use_pallas = (
             jax.devices()[0].platform == "tpu" and shard_rows % 2048 == 0
         )
-        self._search = functools.partial(
-            sharded_topk, self.mesh, n_valid=self.n_valid, chunk=self.chunk,
-            use_pallas=self.use_pallas,
-        )
+        self._jits = {}
+
+    def _search(self, queries, passages, k):
+        # one jitted program per k (retracing shard_map per call is costly)
+        if k not in self._jits:
+            self._jits[k] = jax.jit(
+                functools.partial(
+                    sharded_topk, self.mesh, n_valid=self.n_valid,
+                    chunk=self.chunk, use_pallas=self.use_pallas, k=k,
+                )
+            )
+        return self._jits[k](queries, passages)
 
     @classmethod
     def from_store(
@@ -207,10 +215,7 @@ class ShardedIndex:
         obj.use_pallas = (
             _jax.devices()[0].platform == "tpu" and shard_rows % 2048 == 0
         )
-        obj._search = functools.partial(
-            sharded_topk, obj.mesh, n_valid=obj.n_valid, chunk=obj.chunk,
-            use_pallas=obj.use_pallas,
-        )
+        obj._jits = {}
         return obj
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -224,7 +229,7 @@ class ShardedIndex:
                 [queries, np.zeros((pad,) + queries.shape[1:], queries.dtype)]
             )
         q = jnp.asarray(queries, self.passages.dtype)
-        s, i = self._search(queries=q, passages=self.passages, k=k)
+        s, i = self._search(q, self.passages, k)
         s, i = np.asarray(s)[:Q], np.asarray(i)[:Q]
         if self.ids is not None:
             safe = np.clip(i, 0, self.n_valid - 1)

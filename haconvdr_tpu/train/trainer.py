@@ -263,9 +263,14 @@ class Trainer:
         total_loss = 0.0
         t0 = time.time()
         for epoch in range(cfg.num_train_epochs):
-            it = collate_batches or batch_iter(
-                examples, batch_size, shuffle=True, seed=cfg.seed + epoch
-            )
+            if callable(collate_batches):
+                it = collate_batches(epoch)
+            elif collate_batches is not None:
+                it = iter(collate_batches)  # single-epoch custom batches
+            else:
+                it = batch_iter(
+                    examples, batch_size, shuffle=True, seed=cfg.seed + epoch
+                )
             for batch in it:
                 arrays = {
                     k: jnp.asarray(v)
