@@ -68,7 +68,6 @@ def _topk_kernel(
     base = j * pt
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (QT, pt), 1)
     s = jnp.where(base + col_ids < n_valid_ref[0], s, NEG_INF)
-    scores[...] = s
 
     def round_body(carry):
         _ = carry
@@ -92,12 +91,14 @@ def _topk_kernel(
         new_min = jnp.min(best_s[...], axis=1)
         return jnp.any(new_val > new_min)
 
-    # cheap pre-check: most tiles lose to the running threshold outright
-    first_val = jnp.max(scores[...], axis=1)
+    # cheap pre-check: most tiles lose to the running threshold outright,
+    # in which case the score tile is never spilled to scratch at all
+    first_val = jnp.max(s, axis=1)
     first_min = jnp.min(best_s[...], axis=1)
 
     @pl.when(jnp.any(first_val > first_min))
     def _():
+        scores[...] = s
         jax.lax.while_loop(lambda c: c, round_body, True)
 
     @pl.when(j == n_p - 1)
