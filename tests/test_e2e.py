@@ -232,3 +232,45 @@ def test_retriever_serving_api(pipeline):
         history_passages=[_passage_text(7)], k=3,
     )
     assert len(hits2) == 3
+
+
+def test_build_test_examples_dataset_dispatch(pipeline, tmp_path):
+    """retrieval.build_test_examples dispatches qrecc and cast datasets and
+    their query keys embed through the mesh."""
+    tmp, tok, mcfg, params, corpus, mesh = pipeline
+    from haconvdr_tpu.config import DataConfig, ExperimentConfig, SearchConfig
+    from haconvdr_tpu.retrieval import build_test_examples, get_test_query_embeddings
+
+    qrecc_file = tmp_path / "qrecc_test.json"
+    with open(qrecc_file, "w") as f:
+        f.write(json.dumps({
+            "sample_id": "QReCC-Test_1_1", "cur_utt_text": "a question",
+            "cur_response_text": "", "ctx_utts_text": [],
+            "pos_docs_text": ["whatever"], "rel_label": [],
+        }) + "\n")
+    cast_file = tmp_path / "cast_test.json"
+    with open(cast_file, "w") as f:
+        f.write(json.dumps({
+            "id": "81_1", "topic_number": 81, "query_number": 1,
+            "input": ["first q"], "manual_response": [],
+        }) + "\n")
+
+    for dataset, path, test_type, key in (
+        ("qrecc", qrecc_file, "convqa", "conv_qa"),
+        ("cast", cast_file, "convqp", "conv_qp"),
+    ):
+        cfg = ExperimentConfig(
+            data=DataConfig(
+                dataset=dataset, test_file_path=str(path), is_train=False,
+                use_PRL=False, max_query_length=16, max_doc_length=16,
+                max_concat_length=24,
+            ),
+            model=mcfg,
+            search=SearchConfig(test_type=test_type, per_device_test_batch_size=1),
+        )
+        examples = build_test_examples(cfg, tok)
+        assert key in examples[0]
+        embs, qids = get_test_query_embeddings(
+            cfg, params, mesh=mesh, examples=examples
+        )
+        assert embs.shape == (1, mcfg.embedding_dim)
