@@ -131,6 +131,8 @@ def pallas_topk_block(
     if p_tile == 0:
         p_tile = 2048 if passages.dtype == jnp.bfloat16 else 1024
     assert N % p_tile == 0, "pad passages to a multiple of p_tile"
+    if Q < q_tile:  # small/online batches: shrink to the 8-sublane floor
+        q_tile = max(8, -(-Q // 8) * 8)
     q_pad = -Q % q_tile
     if q_pad:  # whole query tiles; padded rows sliced off below
         queries = jnp.concatenate(
