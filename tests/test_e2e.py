@@ -274,3 +274,25 @@ def test_build_test_examples_dataset_dispatch(pipeline, tmp_path):
             cfg, params, mesh=mesh, examples=examples
         )
         assert embs.shape == (1, mcfg.embedding_dim)
+
+
+def test_search_block_num_limit(pipeline):
+    """search.passage_block_num truncates the block scan like the
+    reference's fixed passage_block_num loop (test_HAConvDR_topiocqa.py:77)."""
+    tmp, tok, mcfg, params, corpus, mesh = pipeline
+    from haconvdr_tpu.config import DataConfig, ExperimentConfig, SearchConfig
+    from haconvdr_tpu.retrieval import search_embedding_store
+
+    rng = np.random.RandomState(1)
+    queries = rng.randn(3, mcfg.embedding_dim).astype(np.float32)
+    base = dict(
+        passage_embeddings_dir_path=str(tmp / "embeds"),
+        top_k=5, passage_chunk=8, query_chunk=4,
+    )
+    cfg_all = ExperimentConfig(search=SearchConfig(**base, passage_block_num=-1))
+    cfg_two = ExperimentConfig(search=SearchConfig(**base, passage_block_num=2))
+    s_all, i_all = search_embedding_store(cfg_all, queries)
+    s_two, i_two = search_embedding_store(cfg_two, queries)
+    # first two blocks hold offsets < 32; the full scan may find better hits
+    assert i_two.max() < 32
+    assert (s_all.max(axis=1) >= s_two.max(axis=1)).all()
