@@ -1,0 +1,133 @@
+"""Full CLI-surface integration: fabricate a tiny offline HF checkpoint
+(byte-level Roberta vocab + converted weights), then drive the real
+command-line entry points end to end on the CPU mesh:
+
+    gen_tokenized_doc -> gen_doc_embeddings -> test_retrieval
+
+This exercises load_model/HF-tokenizer loading, the TOML/override config
+surface, and the reference-layout outputs — the exact workflow a user of
+the reference would run (README.md:15-98).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from haconvdr_tpu.config import ModelConfig
+from haconvdr_tpu.models.encoder import init_encoder_params
+from haconvdr_tpu.models.hf_import import save_hf_checkpoint
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def hf_checkpoint(tmp_path_factory):
+    """Minimal offline ANCE-style checkpoint dir: config.json +
+    pytorch_model.bin + byte-level BPE tokenizer files."""
+    out = tmp_path_factory.mktemp("ckpt")
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    byte_syms = list(bytes_to_unicode().values())
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "<mask>": 4}
+    for s in byte_syms:
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    # a couple of merges so common words aren't pure chars
+    merges = ["#version: 0.2", "t h", "th e"]
+    with open(out / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(out / "merges.txt", "w") as f:
+        f.write("\n".join(merges) + "\n")
+
+    cfg = ModelConfig.tiny(vocab_size=len(vocab) + 8, max_position_embeddings=520)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    save_hf_checkpoint(params, cfg, str(out))
+    return str(out), cfg
+
+
+def test_cli_tokenize_embed_eval(hf_checkpoint, tmp_path):
+    ckpt, cfg = hf_checkpoint
+    from transformers import RobertaTokenizer
+
+    tok = RobertaTokenizer.from_pretrained(ckpt)
+    assert tok.encode("the the") is not None  # tokenizer files load
+
+    # tiny collection
+    coll = tmp_path / "coll.tsv"
+    with open(coll, "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for pid in range(1, 13):
+            s_ = chr(96 + pid) * 3 + " " + chr(64 + pid) + str(pid)
+            f.write(f"{pid}\t{s_}\tt [SEP] {pid}\n")
+
+    from haconvdr_tpu.cli.gen_tokenized_doc import main as tokenize_main
+
+    tok_dir = tmp_path / "tokenized"
+    tokenize_main([
+        f"model.pretrained_encoder_path={ckpt}",
+        f"index.raw_collection_path={coll}",
+        f"index.data_output_path={tok_dir}",
+        "index.max_seq_length=16",
+        "index.num_tokenize_workers=1",
+    ])
+    assert (tok_dir / "meta.json").exists()
+    assert (tok_dir / "offset2pid.pickle").exists()
+
+    from haconvdr_tpu.cli.gen_doc_embeddings import main as embed_main
+
+    emb_dir = tmp_path / "embeds"
+    embed_main([
+        f"model.pretrained_encoder_path={ckpt}",
+        f"index.tokenized_dir={tok_dir}",
+        f"index.data_output_path={emb_dir}",
+        "index.per_device_eval_batch_size=1",
+        "index.per_block_passage_num=8",
+    ])
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+
+    store = EmbeddingBlockStore.open_auto(str(emb_dir))
+    assert store.num_blocks() == 2
+    emb0, ids0 = store.read_block(0)
+    assert emb0.shape[1] == cfg.embedding_dim
+
+    # test queries: exact passage text => identity property => MRR 100
+    test_file = tmp_path / "test.json"
+    with open(test_file, "w") as f:
+        for i, pid in enumerate((2, 9)):
+            f.write(json.dumps({
+                "sample_id": f"CLI_1_{i + 1}",
+                "cur_utt_text": chr(96 + pid) * 3 + " " + chr(64 + pid) + str(pid),
+                "last_response": "", "pos_docs": [chr(96 + pid) * 3 + " " + chr(64 + pid) + str(pid)],
+                "pos_docs_pids": [pid], "rel_label": [],
+            }) + "\n")
+    qrel = tmp_path / "qrel.trec"
+    with open(qrel, "w") as f:
+        f.write("CLI_1_1 0 2 1\nCLI_1_2 0 9 1\n")
+
+    from haconvdr_tpu.cli.test_retrieval import main as eval_main
+
+    res = eval_main([
+        f"model.pretrained_encoder_path={ckpt}",
+        "data.dataset=topiocqa",
+        f"data.test_file_path={test_file}",
+        "data.use_PRL=false",
+        "data.max_query_length=16", "data.max_doc_length=16",
+        "data.max_concat_length=24",
+        "search.test_type=convqp",
+        f"search.passage_embeddings_dir_path={emb_dir}",
+        f"search.passage_offset2pid_path={tok_dir / 'offset2pid.pickle'}",
+        f"search.qrel_output_path={tmp_path / 'out'}",
+        "search.output_trec_file=res.trec",
+        f"search.trec_gold_qrel_file_path={qrel}",
+        "search.top_k=5", "search.passage_chunk=8", "search.query_chunk=4",
+        "search.per_device_test_batch_size=1",
+    ])
+    assert res["MRR"] == 100.0
+    # run file in the reference layout
+    line = open(tmp_path / "out" / "res.trec").read().splitlines()[0].split()
+    assert line[1] == "Q0" and line[6] == "ance"
