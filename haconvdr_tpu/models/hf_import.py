@@ -161,7 +161,7 @@ def save_hf_checkpoint(params: EncoderParams, cfg: ModelConfig, out_dir: str) ->
 
     os.makedirs(out_dir, exist_ok=True)
     sd = state_dict_from_params(params, cfg)
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+    torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
                os.path.join(out_dir, "pytorch_model.bin"))
     hf_cfg = {
         "model_type": "bert" if cfg.model_type.upper().startswith("BERT") else "roberta",
