@@ -131,3 +131,114 @@ def test_cli_tokenize_embed_eval(hf_checkpoint, tmp_path):
     # run file in the reference layout
     line = open(tmp_path / "out" / "res.trec").read().splitlines()[0].split()
     assert line[1] == "Q0" and line[6] == "ance"
+
+
+def test_cli_train(hf_checkpoint, tmp_path):
+    """Drive cli.train_retrieval end to end: builds examples, runs the
+    jitted step, writes the reference-named HF checkpoint dir."""
+    ckpt, cfg = hf_checkpoint
+    train_file = tmp_path / "train.json"
+    import random as _r
+
+    r = _r.Random(0)
+    with open(train_file, "w") as f:
+        for i in range(16):
+            words = " ".join(chr(97 + r.randrange(26)) for _ in range(4))
+            f.write(json.dumps({
+                "sample_id": f"T_1_{i + 1}",
+                "cur_utt_text": words,
+                "last_response": "",
+                "pos_docs": [words + " gold"], "pos_docs_pids": [i],
+                "rel_label": [],
+                "bm25_hard_neg_docs": ["some negative text"],
+                "pseudo_prepos_docs": [], "prepos_neg_docs": [],
+            }) + "\n")
+
+    from haconvdr_tpu.cli.train_retrieval import main as train_main
+
+    out_dir = tmp_path / "model_out"
+    train_main([
+        f"model.pretrained_encoder_path={ckpt}",
+        "model.remat=false",
+        "data.dataset=topiocqa",
+        f"data.train_file_path={train_file}",
+        "data.mode=convqp", "data.use_PRL=true",
+        "data.max_query_length=12", "data.max_doc_length=12",
+        "data.max_response_length=12", "data.max_concat_length=24",
+        "train.num_train_epochs=1", "train.per_device_train_batch_size=1",
+        "train.accumulation_steps=2", "train.print_steps=0",
+        "train.is_pseudo_prepos=false", "train.is_prepos_neg=false",
+        f"train.model_output_path={out_dir}",
+    ])
+    # reference checkpoint naming (src/train_HAConvDR_topiocqa.py:36-39)
+    ckpts = os.listdir(out_dir)
+    assert len(ckpts) == 1 and "convqp-goldPRL" in ckpts[0]
+    saved = out_dir / ckpts[0]
+    assert (saved / "pytorch_model.bin").exists()
+    assert (saved / "config.json").exists()
+    # saved checkpoint reloads through the factory
+    from haconvdr_tpu.models.hf_import import load_hf_checkpoint
+
+    params2, cfg2 = load_hf_checkpoint(str(saved))
+    assert cfg2.num_hidden_layers == cfg.num_hidden_layers
+
+
+def test_cli_prj(hf_checkpoint, tmp_path):
+    """Drive cli.test_prj: probe file + probe qrels + embedding store ->
+    rel-label JSONL."""
+    ckpt, cfg = hf_checkpoint
+    # build a small store with the checkpoint encoder (reuses CLI pipelines)
+    coll = tmp_path / "coll.tsv"
+    with open(coll, "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for pid in range(1, 9):
+            s_ = chr(96 + pid) * 3 + " " + chr(64 + pid) + str(pid)
+            f.write(f"{pid}\t{s_}\tt\n")
+    from haconvdr_tpu.cli.gen_tokenized_doc import main as tokenize_main
+    from haconvdr_tpu.cli.gen_doc_embeddings import main as embed_main
+
+    tok_dir, emb_dir = tmp_path / "tok", tmp_path / "emb"
+    tokenize_main([
+        f"model.pretrained_encoder_path={ckpt}",
+        f"index.raw_collection_path={coll}", f"index.data_output_path={tok_dir}",
+        "index.max_seq_length=16", "index.num_tokenize_workers=1",
+    ])
+    embed_main([
+        f"model.pretrained_encoder_path={ckpt}",
+        f"index.tokenized_dir={tok_dir}", f"index.data_output_path={emb_dir}",
+        "index.per_device_eval_batch_size=1", "index.per_block_passage_num=8",
+    ])
+
+    gold_text = "ccc C3"  # passage 3's exact text
+    probes = tmp_path / "probes.json"
+    with open(probes, "w") as f:
+        f.write(json.dumps({"id": "5-2-0", "conv_id": 5, "turn_id": 2,
+                            "query": gold_text, "query_pair": "",
+                            "pos_docs_id": [3], "last_response": ""}) + "\n")
+        f.write(json.dumps({"id": "5-2-1", "conv_id": 5, "turn_id": 2,
+                            "query": gold_text, "query_pair": "unrelated stuff",
+                            "pos_docs_id": [3], "last_response": ""}) + "\n")
+    probe_qrel = tmp_path / "probe_qrel.trec"
+    probe_qrel.write_text("5-2-0 Q0 3 1\n5-2-1 Q0 3 1\n")
+
+    from haconvdr_tpu.cli.test_prj import main as prj_main
+
+    out = tmp_path / "rel_label.json"
+    prj_main([
+        f"model.pretrained_encoder_path={ckpt}",
+        f"data.test_file_path={probes}",
+        "data.max_query_length=16", "data.max_doc_length=16",
+        "data.max_concat_length=48",
+        f"search.passage_embeddings_dir_path={emb_dir}",
+        f"search.passage_offset2pid_path={tok_dir / 'offset2pid.pickle'}",
+        f"search.trec_gold_qrel_file_path={probe_qrel}",
+        "search.top_k=5", "search.passage_chunk=8", "search.query_chunk=4",
+        "search.per_device_test_batch_size=1",
+        f"prj_output={out}",
+    ])
+    from haconvdr_tpu.utils.io import read_jsonl_list
+
+    recs = {r["id"]: r["rel_label"] for r in read_jsonl_list(str(out))}
+    # base probe is the exact gold text (MRR 1.0) -> expansion can't beat it
+    assert recs["5-2"] == [0]
+    assert recs["5-1"] == []
