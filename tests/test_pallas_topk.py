@@ -123,3 +123,18 @@ def test_encoder_flash_flag_matches_exact(rng):
     assert not fused_attention_supported(8, 8)
     assert fused_attention_supported(384, 64)
     assert fused_attention_supported(512, 64)
+
+
+def test_pallas_v2_stream_matches_oracle(rng):
+    from haconvdr_tpu.ops.pallas_topk_v2 import pallas_topk_block_v2
+
+    Q, N, D, k = 100, 1024, 32, 10
+    q = rng.randn(Q, D).astype(np.float32)
+    p = rng.randn(N, D).astype(np.float32)
+    s, i = pallas_topk_block_v2(
+        jnp.asarray(q), jnp.asarray(p), jnp.int32(900), k,
+        q_tile=64, p_chunk=128, interpret=True,
+    )
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p[:900]), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
