@@ -1,18 +1,25 @@
-"""Pallas TPU kernel v2: fused exact top-k with manual DMA streaming.
+"""Pallas TPU kernel v2: fused exact top-k with manual DMA streaming and
+grouped threshold checks.
 
-Same algorithm as ops/pallas_topk.py (MXU score tile + threshold-gated
-in-VMEM extraction), but the passage matrix stays in HBM and the kernel
-streams it through a double-buffered VMEM scratch with explicit async
-copies, software-pipelining chunk c+1's DMA+matmul ahead of chunk c's
-selection via ping-ponged score buffers.
+Same exact algorithm as ops/pallas_topk.py (MXU score tile + threshold-
+gated in-VMEM extraction), with two structural changes:
 
-Measured equal to v1 on v5e (16.5k bf16 / 13.5k f32 QPS at 2.5M x 768):
-Mosaic's automatic grid pipelining already overlaps as well as this manual
-schedule, and the residual gap to the 55 ms matmul-only floor is the
-per-chunk scalar sync of the exactness check (jnp.any -> branch), which
-any exact data-dependent selection needs.  v1 (ops/pallas_topk.py) stays
-the default; this version is kept as the explicit-DMA formulation — the
-natural starting point if the selection is ever moved off the scalar unit.
+  * the passage matrix stays in HBM and streams through a double-buffered
+    VMEM scratch with explicit async copies, software-pipelining chunk
+    c+1's DMA+matmul ahead of chunk c's selection via ping-ponged score
+    buffers;
+  * ``group`` DMA chunks share ONE selection round over their concatenated
+    score tile, dividing the per-chunk scalar sync (jnp.any -> branch) —
+    the dominant non-matmul cost — by ``group``.
+
+Measured on v5e (2.5M x 768, 2048 queries, top-100): matmul-only floors
+are 94.5 ms (f32) / 55 ms (bf16); v1 runs 151 / 122 ms and this kernel
+148 / 129 — i.e. neither the scalar syncs nor Mosaic's grid pipelining is
+the gap.  Bisection shows the residual cost is the extraction rounds
+themselves: a threshold scan performs ~k·ln(N/k) inserts per query (~1.1k
+here), each a full-width VPU max/argmax/mask pass.  Cutting that requires
+a fundamentally different in-kernel selector (e.g. bitonic partial sort);
+left as the documented next step (NOTES.md).  v1 stays the default.
 """
 
 from __future__ import annotations
@@ -36,15 +43,17 @@ def _topk_stream_kernel(
     out_i_ref,  # [QT, K]
     best_s,  # scratch [QT, K] f32
     best_i,  # scratch [QT, K] i32
-    scores,  # scratch [QT, PC] f32
+    scores,  # scratch [2, QT, G*PC] f32 (ping-pong groups)
     p_buf,  # scratch [2, PC, D] passage dtype
     sems,  # DMA semaphores (2,)
     *,
     pc: int,
-    n_chunks: int,
+    group: int,
+    n_groups: int,
 ):
     QT = q_ref.shape[0]
     K = best_s.shape[1]
+    W = group * pc  # selection width
     best_s[...] = jnp.full(best_s.shape, NEG_INF, jnp.float32)
     best_i[...] = jnp.full(best_i.shape, -1, jnp.int32)
 
@@ -55,21 +64,30 @@ def _topk_stream_kernel(
 
     dma(0, 0).start()
     q = q_ref[...]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (QT, pc), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (QT, W), 1)
     n_valid = n_valid_ref[0]
 
-    def score_chunk(c):
-        dma(jax.lax.rem(c, 2), c).wait()
-        s = jax.lax.dot_general(
-            q,
-            p_buf[jax.lax.rem(c, 2)],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.where(c * pc + col_ids < n_valid, s, NEG_INF)
+    def score_group(g, buf):
+        """Score group g's chunks into scores[buf]; prefetches ahead."""
+        for sub in range(group):
+            c = g * group + sub
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_groups * group)
+            def _():
+                dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            dma(slot, c).wait()
+            s = jax.lax.dot_general(
+                q, p_buf[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            local = jax.lax.broadcasted_iota(jnp.int32, (QT, pc), 1)
+            s = jnp.where(c * pc + local < n_valid, s, NEG_INF)
+            scores[buf, :, sub * pc : (sub + 1) * pc] = s
 
     def select(buf, base):
-        """Fold scores[buf] into the best-K state (mutates scores[buf])."""
+        """Fold scores[buf] (width W, global offset base) into best-K."""
 
         def round_body(carry):
             _ = carry
@@ -97,40 +115,32 @@ def _topk_stream_kernel(
         def _():
             jax.lax.while_loop(lambda x: x, round_body, True)
 
-    # software pipeline: chunk c+1's DMA + matmul are issued BEFORE chunk
-    # c's (scalar-branchy) selection, so the MXU stays busy while the VPU
-    # and scalar unit work through the selection of the previous chunk;
-    # score tiles ping-pong between two VMEM buffers
-    @pl.when(n_chunks > 1)
-    def _():
-        dma(1, 1).start()
+    # software pipeline over GROUPS: group g+1's DMA+matmuls are issued
+    # before group g's (scalar-branchy) selection
+    score_group(0, 0)
 
-    scores[0] = score_chunk(0)
-
-    def chunk_body(c, _):
-        # prefetch c+1 into the passage slot freed by score_chunk(c-1)
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        scores[jax.lax.rem(c, 2)] = score_chunk(c)
-        select(jax.lax.rem(c - 1, 2), (c - 1) * pc)
+    def group_body(g, _):
+        score_group(g, jax.lax.rem(g, 2))
+        select(jax.lax.rem(g - 1, 2), (g - 1) * W)
         return _
 
-    jax.lax.fori_loop(1, n_chunks, chunk_body, None)
-    select(jax.lax.rem(n_chunks - 1, 2), (n_chunks - 1) * pc)
+    jax.lax.fori_loop(1, n_groups, group_body, None)
+    select(jax.lax.rem(n_groups - 1, 2), (n_groups - 1) * W)
     out_s_ref[...] = best_s[...]
     out_i_ref[...] = best_i[...]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "q_tile", "p_chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "q_tile", "p_chunk", "group", "interpret")
+)
 def pallas_topk_block_v2(
     queries: jax.Array,  # [Q, D]
-    passages: jax.Array,  # [N, D], N % p_chunk == 0
+    passages: jax.Array,  # [N, D], N % (group * p_chunk) == 0
     n_valid: jax.Array,
     k: int,
     q_tile: int = 256,
     p_chunk: int = 0,
+    group: int = 2,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     Q, D = queries.shape
@@ -138,7 +148,7 @@ def pallas_topk_block_v2(
     assert D == D2
     if p_chunk == 0:
         p_chunk = 2048 if passages.dtype == jnp.bfloat16 else 1024
-    assert N % p_chunk == 0, "pad passages to a multiple of p_chunk"
+    assert N % (p_chunk * group) == 0, "pad passages to group*p_chunk"
     if Q < q_tile:
         q_tile = max(8, -(-Q // 8) * 8)
     q_pad = -Q % q_tile
@@ -148,9 +158,11 @@ def pallas_topk_block_v2(
         )
     Qp = Q + q_pad
     K = -(-k // 128) * 128
-    n_chunks = N // p_chunk
+    n_groups = N // (p_chunk * group)
 
-    kernel = functools.partial(_topk_stream_kernel, pc=p_chunk, n_chunks=n_chunks)
+    kernel = functools.partial(
+        _topk_stream_kernel, pc=p_chunk, group=group, n_groups=n_groups
+    )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -167,7 +179,7 @@ def pallas_topk_block_v2(
             scratch_shapes=[
                 pltpu.VMEM((q_tile, K), jnp.float32),
                 pltpu.VMEM((q_tile, K), jnp.int32),
-                pltpu.VMEM((2, q_tile, p_chunk), jnp.float32),
+                pltpu.VMEM((2, q_tile, group * p_chunk), jnp.float32),
                 pltpu.VMEM((2, p_chunk, D), passages.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
