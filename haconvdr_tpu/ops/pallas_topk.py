@@ -69,8 +69,8 @@ def _topk_kernel(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (QT, pt), 1)
     s = jnp.where(base + col_ids < n_valid_ref[0], s, NEG_INF)
 
-    def round_body(carry):
-        _ = carry
+    def one_insert():
+        """One predicated extract+insert pass (no-op for settled rows)."""
         sc = scores[...]
         bs = best_s[...]
         val = jnp.max(sc, axis=1)  # [QT]
@@ -86,7 +86,13 @@ def _topk_kernel(
         slot = (k_ids == amin[:, None]) & active[:, None]
         best_s[...] = jnp.where(slot, val[:, None], bs)
         best_i[...] = jnp.where(slot, base + col[:, None], best_i[...])
-        # continue while any row still has a candidate beating its new min
+
+    def round_body(carry):
+        # exactly one predicated insert per scalar check: unrolling more
+        # inserts per round measured SLOWER (the full-width argmax/mask VPU
+        # passes dominate; wasted no-op passes outweigh the saved syncs)
+        _ = carry
+        one_insert()
         new_val = jnp.max(scores[...], axis=1)
         new_min = jnp.min(best_s[...], axis=1)
         return jnp.any(new_val > new_min)
