@@ -296,3 +296,28 @@ def test_search_block_num_limit(pipeline):
     # first two blocks hold offsets < 32; the full scan may find better hits
     assert i_two.max() < 32
     assert (s_all.max(axis=1) >= s_two.max(axis=1)).all()
+
+
+def test_retriever_streaming_mode(pipeline):
+    """Retriever with resident=False streams blocks per search."""
+    tmp, tok, mcfg, params, corpus, mesh = pipeline
+    from haconvdr_tpu.config import DataConfig, SearchConfig
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+    from haconvdr_tpu.serve import Retriever
+
+    store = EmbeddingBlockStore(str(tmp / "embeds"))
+    r = Retriever(
+        tok, params, mcfg, store,
+        offset2pid=corpus.offset2pid(),
+        data_cfg=DataConfig(
+            is_train=False, use_PRL=False,
+            max_query_length=16, max_doc_length=16, max_concat_length=24,
+        ),
+        search_cfg=SearchConfig(
+            top_k=5, per_device_test_batch_size=1,
+            passage_chunk=8, query_chunk=128,
+        ),
+        resident=False,
+    )
+    hits = r.retrieve(_passage_text(33))
+    assert hits[0][0] == 33

@@ -232,3 +232,23 @@ def test_bm25_topk_padding():
     assert (docs[0] >= 0).sum() == 1  # only one match
     assert docs[0][0] == 2
     assert (docs[0][1:] == -1).all()
+
+
+def test_metrics_logger(tmp_path):
+    import json as _json
+
+    from haconvdr_tpu.utils.telemetry import MetricsLogger, Timer
+
+    path = str(tmp_path / "m.jsonl")
+    m = MetricsLogger(path, flush_every=1)
+    m.log("train_step", loss=1.5, step=3)
+    with Timer(m, "search", block=0):
+        pass
+    m.close()
+    recs = [_json.loads(l) for l in open(path)]
+    assert recs[0]["event"] == "train_step" and recs[0]["loss"] == 1.5
+    assert recs[1]["event"] == "search" and "seconds" in recs[1]
+    # disabled sink is a no-op
+    m2 = MetricsLogger("")
+    m2.log("x")
+    m2.close()
