@@ -186,7 +186,12 @@ def encode_corpus(
     import jax.numpy as jnp
 
     store = EmbeddingBlockStore(out_dir, fmt=fmt)
-    dtype = np.dtype(store_dtype) if store_dtype != "bfloat16" else None
+    if store_dtype == "bfloat16":
+        import ml_dtypes
+
+        dtype = np.dtype(ml_dtypes.bfloat16)
+    else:
+        dtype = np.dtype(store_dtype)
     # whole batches per block, matching the reference's block_size
     # accounting (gen_doc_embeddings.py:87-88: block_size = expect // batch)
     block_rows = max(per_block_passage_num // batch_size, 1) * batch_size

@@ -205,6 +205,10 @@ class EmbeddingBlockStore:
         e, i = self._paths(block_id)
         if self.fmt == "npy":
             emb = np.load(e, mmap_mode="r")
+            if emb.dtype == np.dtype("V2"):  # np.save round-trips bf16 as raw
+                import ml_dtypes
+
+                emb = emb.view(ml_dtypes.bfloat16)
             ids = np.load(i)
         else:
             with open(e, "rb") as f:

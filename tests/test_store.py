@@ -93,3 +93,54 @@ def test_block_store_missing_middle_block_raises(tmp_path, rng):
         list(store.iter_blocks(3))
     # auto mode stops at the contiguous prefix
     assert store.num_blocks() == 1
+
+
+def test_bfloat16_block_store_roundtrip(tmp_path, rng):
+    """bfloat16 store halves index bytes (the QReCC 54M memory plan);
+    np.save/load roundtrips via ml_dtypes and search accepts the blocks."""
+    import ml_dtypes
+
+    emb = rng.randn(40, 8).astype(np.float32).astype(ml_dtypes.bfloat16)
+    ids = np.arange(40, dtype=np.int64)
+    store = EmbeddingBlockStore(str(tmp_path / "bf16"))
+    store.write_block(0, emb, ids)
+    e2, i2 = store.read_block(0)
+    assert e2.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(emb))
+
+    from haconvdr_tpu.ops.topk import BlockSearcher, exact_topk_oracle
+    import jax.numpy as jnp
+
+    q = rng.randn(3, 8).astype(np.float32)
+    s, got = BlockSearcher(top_k=5, passage_chunk=8, use_pallas=False).search(
+        q, store.iter_blocks()
+    )
+    ref_s, ref_i = exact_topk_oracle(
+        jnp.asarray(q), jnp.asarray(np.asarray(emb, np.float32)), 5
+    )
+    np.testing.assert_array_equal(got, np.asarray(ref_i))
+
+
+def test_encode_corpus_bfloat16_store(tmp_path, rng):
+    """encode_corpus(store_dtype='bfloat16') actually writes bf16 blocks."""
+    import jax
+    import ml_dtypes
+
+    from haconvdr_tpu.config import ModelConfig
+    from haconvdr_tpu.index.build import encode_corpus
+    from haconvdr_tpu.models.encoder import encode, init_encoder_params
+
+    w = TokenizedCorpusWriter(str(tmp_path / "c"), max_seq_length=6)
+    for pid in range(10):
+        w.add(pid, [4 + pid, 5, 6])
+    w.finalize()
+    corpus = TokenizedCorpus(str(tmp_path / "c"))
+    cfg = ModelConfig.tiny()
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    fn = lambda p, ids, mask: encode(p, cfg, ids, mask)  # noqa: E731
+    store = encode_corpus(
+        corpus, fn, params, str(tmp_path / "e"), batch_size=4,
+        per_block_passage_num=8, store_dtype="bfloat16",
+    )
+    emb, ids = store.read_block(0)
+    assert emb.dtype == ml_dtypes.bfloat16
