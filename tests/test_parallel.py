@@ -89,3 +89,24 @@ def test_sharded_index_from_store(rng, tmp_path):
     ref_s, ref_i = exact_topk_oracle(jnp.asarray(queries), jnp.asarray(emb), 11)
     np.testing.assert_allclose(s, np.asarray(ref_s), rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(got, ids[np.asarray(ref_i)])
+
+
+def test_sharded_index_from_store_bf16(rng, tmp_path):
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+    from haconvdr_tpu.parallel.sharded_search import ShardedIndex
+
+    mesh = make_mesh()
+    n, d = 200, 8
+    emb = rng.randn(n, d).astype(np.float32)
+    store = EmbeddingBlockStore(str(tmp_path / "blk"))
+    store.write_block(0, emb, np.arange(n, dtype=np.int64))
+    index = ShardedIndex.from_store(mesh, store, chunk=8, dtype="bfloat16")
+    assert str(index.passages.dtype) == "bfloat16"
+    queries = rng.randn(4, d).astype(np.float32)
+    s, got = index.search(queries, 10)
+    _, ref_i = exact_topk_oracle(jnp.asarray(queries), jnp.asarray(emb), 10)
+    # bf16 scoring: require high overlap with the exact ranking
+    overlap = np.mean([
+        len(set(got[i]) & set(np.asarray(ref_i)[i])) / 10 for i in range(4)
+    ])
+    assert overlap >= 0.9, overlap
