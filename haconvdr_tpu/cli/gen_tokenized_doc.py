@@ -16,7 +16,17 @@ def main(argv=None):
     from haconvdr_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = config_from_argv(argv)
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    title = False
+    rest = []
+    for a in argv:
+        if a.startswith("title="):  # join title before text (tsv title mode)
+            title = a.split("=", 1)[1].lower() in ("1", "true", "yes")
+        else:
+            rest.append(a)
+    cfg = config_from_argv(rest)
 
     def tokenizer_factory(path=cfg.model.pretrained_encoder_path,
                           model_type=cfg.model.model_type):
@@ -29,7 +39,8 @@ def main(argv=None):
     if cfg.index.num_tokenize_workers <= 1:
         tokenizer = tokenizer_factory()
     corpus = tokenize_collection(
-        cfg.index, tokenizer=tokenizer, tokenizer_factory=tokenizer_factory
+        cfg.index, tokenizer=tokenizer, tokenizer_factory=tokenizer_factory,
+        title=title,
     )
     logging.getLogger(__name__).info("tokenized corpus: %d passages", len(corpus))
 

@@ -38,6 +38,18 @@ def load_topiocqa_collection(path: str) -> Dict[int, str]:
     return dict(iter_topiocqa_collection(path))
 
 
+def iter_jsonl_collection(path: str) -> Iterator[Tuple[int, str]]:
+    """Yield (pid, 'title[SEP]text') from a {id, title, text} JSONL dump
+    (the reference's jsonl branch of load_collection, src/utils.py:84-90)."""
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            yield int(obj["id"]), obj["title"] + "[SEP]" + obj["text"]
+
+
 def iter_qrecc_collection(path: str) -> Iterator[Tuple[int, str]]:
     """Yield (pid, passage) from the flat qrecc tsv; malformed lines yield
     empty text (preprocess/preprocess_qrecc.py:203-212)."""

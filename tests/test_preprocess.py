@@ -249,3 +249,11 @@ def test_convert_collection_to_jsonl(tmp_path):
     convert_collection_to_jsonl(str(tsv), str(out))
     rec = json.loads(out.read_text().splitlines()[0])
     assert rec == {"contents": "Ti Sec body one", "id": "doc1"}
+
+
+def test_iter_jsonl_collection(tmp_path):
+    from haconvdr_tpu.preprocess.collections import iter_jsonl_collection
+
+    p = tmp_path / "coll.jsonl"
+    p.write_text('{"id": "7", "title": "Ti", "text": "body"}\n')
+    assert list(iter_jsonl_collection(str(p))) == [(7, "Ti[SEP]body")]
