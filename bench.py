@@ -16,7 +16,7 @@ BASELINE_QPS = 2000; the ">=5x faiss-gpu per chip" target from
 BASELINE.json means vs_baseline >= 5.
 
 Measured on TPU v5e-1 (this kernel, exact, f32 index like the reference):
-~13.6k QPS (6.8x); bfloat16 index (BENCH_BF16=1): ~16.8k QPS (8.4x).
+~17.3k QPS (8.7x); bfloat16 index (BENCH_BF16=1): ~17.6k QPS (8.8x).
 
 Outputs ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
