@@ -4,8 +4,11 @@ train_HAConvDR_qrecc.py / train_HAConvDR_topiocqa_PRF.py).
 Usage: python -m haconvdr_tpu.cli.train_retrieval --config cfg.toml
        [data.dataset=topiocqa data.mode=convqp train.learning_rate=1e-5 ...]
 
-The PRF variant is data.is_PRF=true with a PRF-merged train file (the
-reference's separate _PRF script differs only in the dataset flags).
+The PRF variant (data.is_PRF=true, with a PRF-merged train file) dispatches
+the expanded dataset (one extra example per pseudo-prepos passage used as a
+positive) + the plain ranking loss + the PRF checkpoint naming, matching the
+reference's separate _PRF script (src/train_HAConvDR_topiocqa_PRF.py:37-41,
+81,146).
 """
 
 import logging
@@ -24,8 +27,17 @@ _QUERY_KEY = {"raw": "raw_query", "convq": "conv_q", "convqa": "conv_qa",
 
 
 def checkpoint_name(cfg) -> str:
-    """Reference checkpoint naming (src/train_HAConvDR_topiocqa.py:36-39)."""
+    """Reference checkpoint naming: the PRF trainer encodes hard_neg_type /
+    is_PRF / PRF_top (src/train_HAConvDR_topiocqa_PRF.py:37-41); the
+    standard trainer encodes the prepos flags
+    (src/train_HAConvDR_topiocqa.py:36-39)."""
     prl = "goldPRL" if cfg.data.use_PRL else "noPRL"
+    if cfg.data.is_PRF:
+        return (
+            f"bs{cfg.train.per_device_train_batch_size}-{cfg.data.mode}-{prl}-"
+            f"{cfg.data.hard_neg_type}hard-{cfg.train.is_pseudo_prepos}prepos-"
+            f"{cfg.data.is_PRF}PRF-{cfg.data.PRF_top}-retriever"
+        )
     return (
         f"bs{cfg.train.per_device_train_batch_size}-{cfg.data.mode}-{prl}-"
         f"{cfg.train.is_prepos_neg}preposhard-{cfg.train.is_pseudo_prepos}prepos-"
@@ -56,7 +68,19 @@ def main(argv=None):
     params = stack_layer_params(encoder.params)
     frozen = params  # frozen passage tower starts from the same checkpoint
 
-    if cfg.data.dataset == "topiocqa":
+    if cfg.data.dataset == "topiocqa" and cfg.data.is_PRF:
+        # the PRF trainer (src/train_HAConvDR_topiocqa_PRF.py:81,146) uses
+        # the ORIGINAL Retrieval_topiocqa dataset — one extra example per
+        # pseudo-prepos passage used as a positive — with the plain
+        # cal_ranking_loss (pos matrix + 1 hard-neg column)
+        from haconvdr_tpu.data.topiocqa import build_topiocqa_train_examples_expanded
+
+        examples = build_topiocqa_train_examples_expanded(
+            cfg.data, tokenizer, cfg.data.train_file_path,
+            is_pseudo_prepos=cfg.train.is_pseudo_prepos,
+        )
+        loss_variant = "ranking"
+    elif cfg.data.dataset == "topiocqa":
         from haconvdr_tpu.data.topiocqa import build_topiocqa_train_examples
 
         examples = build_topiocqa_train_examples(

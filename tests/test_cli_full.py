@@ -183,6 +183,84 @@ def test_cli_train(hf_checkpoint, tmp_path):
     assert cfg2.num_hidden_layers == cfg.num_hidden_layers
 
 
+def test_cli_train_prf(hf_checkpoint, tmp_path):
+    """Drive the PRF training variant (data.is_PRF=true): expanded dataset
+    (one extra example per pseudo-prepos passage used as a positive), plain
+    ranking loss, PRF checkpoint naming — the rebuild of the reference's
+    separate src/train_HAConvDR_topiocqa_PRF.py entry point (":37-41,81,146")."""
+    ckpt, cfg = hf_checkpoint
+    train_file = tmp_path / "train.json"
+    import random as _r
+
+    r = _r.Random(1)
+    with open(train_file, "w") as f:
+        for i in range(8):
+            words = " ".join(chr(97 + r.randrange(26)) for _ in range(4))
+            f.write(json.dumps({
+                "sample_id": f"P_1_{i + 1}",
+                "cur_utt_text": words,
+                "last_response": "",
+                "pos_docs": [words + " gold"], "pos_docs_pids": [i],
+                "rel_label": [],
+                "bm25_hard_neg_docs": ["some negative text"],
+                # one pseudo positive per turn -> expanded set doubles
+                "pseudo_prepos_docs": [words + " pseudo"],
+                "prepos_neg_docs": [],
+            }) + "\n")
+
+    from haconvdr_tpu.cli.train_retrieval import main as train_main
+
+    out_dir = tmp_path / "model_out"
+    train_main([
+        f"model.pretrained_encoder_path={ckpt}",
+        "model.remat=false",
+        "data.dataset=topiocqa",
+        f"data.train_file_path={train_file}",
+        "data.mode=convqp", "data.use_PRL=true",
+        "data.is_PRF=true", "data.PRF_top=1", "data.hard_neg_type=bm25",
+        "data.max_query_length=12", "data.max_doc_length=12",
+        "data.max_response_length=12", "data.max_concat_length=24",
+        "train.num_train_epochs=1", "train.per_device_train_batch_size=1",
+        "train.accumulation_steps=1", "train.print_steps=0",
+        "train.is_pseudo_prepos=true", "train.is_prepos_neg=false",
+        f"train.model_output_path={out_dir}",
+    ])
+    # PRF checkpoint naming (src/train_HAConvDR_topiocqa_PRF.py:37-41)
+    ckpts = os.listdir(out_dir)
+    assert len(ckpts) == 1, ckpts
+    name = ckpts[0]
+    assert "goldPRL" in name and "bm25hard" in name
+    assert "TruePRF-1-retriever" in name and "Trueprepos" in name
+    saved = out_dir / name
+    assert (saved / "pytorch_model.bin").exists()
+    # the expanded builder doubled the example count (1 pseudo per turn);
+    # the saved params differ from the init (updates were applied)
+    from haconvdr_tpu.config import DataConfig
+    from haconvdr_tpu.data.topiocqa import build_topiocqa_train_examples_expanded
+    from transformers import RobertaTokenizer
+
+    dcfg = DataConfig(
+        dataset="topiocqa", train_file_path=str(train_file), is_train=True,
+        use_PRL=True, is_PRF=True, PRF_top=1, hard_neg_type="bm25",
+        max_query_length=12, max_doc_length=12, max_response_length=12,
+        max_concat_length=24,
+    )
+    tok = RobertaTokenizer.from_pretrained(ckpt)
+    examples = build_topiocqa_train_examples_expanded(
+        dcfg, tok, str(train_file), is_pseudo_prepos=True
+    )
+    assert len(examples) == 16
+    from haconvdr_tpu.models.hf_import import load_hf_checkpoint
+
+    params2, _ = load_hf_checkpoint(str(saved))
+    before, _ = load_hf_checkpoint(ckpt)
+    diff = np.abs(
+        np.asarray(params2["embedding_head"]["kernel"])
+        - np.asarray(before["embedding_head"]["kernel"])
+    ).max()
+    assert diff > 0
+
+
 def test_cli_prj(hf_checkpoint, tmp_path):
     """Drive cli.test_prj: probe file + probe qrels + embedding store ->
     rel-label JSONL."""
