@@ -87,6 +87,13 @@ def main(argv=None):
             cfg.data, tokenizer, cfg.data.train_file_path
         )
         loss_variant = "prepos"
+    elif cfg.data.num_negs > 1:
+        from haconvdr_tpu.data.qrecc import build_qrecc_multineg_examples
+
+        examples = build_qrecc_multineg_examples(
+            cfg.data, tokenizer, cfg.data.train_file_path, num_negs=cfg.data.num_negs
+        )
+        loss_variant = "ranking"
     else:
         from haconvdr_tpu.data.qrecc import build_qrecc_examples
 

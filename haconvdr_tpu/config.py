@@ -70,6 +70,9 @@ class DataConfig(SequenceConfig):
     # query construction mode: raw | rewrite | convq | convqa | convqp
     mode: str = "convqp"
     hard_neg_type: str = "bm25"  # bm25 | prepos | none
+    # >1 trains against that many BM25 negatives per example
+    # (Retrieval_qrecc_negs, src/data.py:745-818); qrecc only
+    num_negs: int = 1
     seed: int = 42
 
 

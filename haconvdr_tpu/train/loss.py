@@ -52,14 +52,19 @@ def ranking_loss(
     pos_doc_embs: jax.Array,  # [B, D]
     neg_doc_embs: Optional[jax.Array] = None,  # [B, D] or [B, R, D]
     valid: Optional[jax.Array] = None,  # [B]
+    neg_valid: Optional[jax.Array] = None,  # [B, R] 0/1 (multineg padding)
 ) -> jax.Array:
     B = query_embs.shape[0]
     valid = jnp.ones((B,), jnp.int32) if valid is None else valid
     pos_scores = query_embs @ pos_doc_embs.T  # [B, B]
     score_mat = _mask_invalid_columns(pos_scores, valid)
     if neg_doc_embs is not None:
-        if neg_doc_embs.ndim == 3:  # R negatives per example
+        if neg_doc_embs.ndim == 3:  # R negatives per example (Retrieval_qrecc_negs)
             neg_scores = jnp.einsum("bd,brd->br", query_embs, neg_doc_embs)
+            if neg_valid is not None:
+                # rows clamped/padded to a static R: padded slots leave the
+                # softmax entirely
+                neg_scores = jnp.where(neg_valid.astype(bool), neg_scores, _NEG)
         else:  # single hard negative (":51")
             neg_scores = jnp.sum(query_embs * neg_doc_embs, axis=1)[:, None]
         score_mat = jnp.concatenate([score_mat, neg_scores], axis=1)

@@ -132,10 +132,26 @@ def make_train_step(
             return sg(encode(frozen_params, model_cfg, ids, mask))
 
         pos = frozen_encode(batch["pos_docs"], batch["pos_docs_mask"])
-        neg = frozen_encode(batch["neg_docs"], batch["neg_docs_mask"])
+        neg_ids, neg_mask = batch["neg_docs"], batch["neg_docs_mask"]
+        neg_valid = None
+        if neg_ids.ndim == 3:
+            # multi-negative batches (Retrieval_qrecc_negs,
+            # src/data.py:745-818): fold the R axis into the batch for the
+            # frozen tower, unfold for the loss; padded slots (beyond
+            # num_negs) are masked out of the softmax
+            Bn, R, Ln = neg_ids.shape
+            neg = frozen_encode(
+                neg_ids.reshape(Bn * R, Ln), neg_mask.reshape(Bn * R, Ln)
+            ).reshape(Bn, R, -1)
+            if "num_negs" in batch:
+                neg_valid = (
+                    jnp.arange(R)[None, :] < batch["num_negs"][:, None]
+                ).astype(jnp.int32)
+        else:
+            neg = frozen_encode(neg_ids, neg_mask)
         valid = batch["valid"]
         if loss_variant == "ranking":
-            return ranking_loss(q, pos, neg, valid=valid)
+            return ranking_loss(q, pos, neg, valid=valid, neg_valid=neg_valid)
         pseudo = prepos = has_pseudo = has_prepos = None
         if train_cfg.is_pseudo_prepos and "pseudo_prepos_docs" in batch:
             pseudo = frozen_encode(

@@ -278,6 +278,105 @@ def test_ranking_loss_multi_negative(rng):
     assert abs(ours - ref) < 1e-5
 
 
+def test_train_step_multineg(rng):
+    """End-to-end multi-negative training step: [B, R, L] negatives fold
+    through the frozen tower, padded slots (beyond num_negs) leave the
+    softmax — the Retrieval_qrecc_negs variant (src/data.py:745-818) made
+    trainable."""
+    mesh = make_mesh(dp=8)
+    mcfg = ModelConfig.tiny()
+    tcfg = TrainConfig(
+        accumulation_steps=1, learning_rate=1e-3,
+        is_pseudo_prepos=False, is_prepos_neg=False,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(0), mcfg)
+    frozen = init_encoder_params(jax.random.PRNGKey(1), mcfg)
+    opt = make_optimizer(tcfg, total_steps=10)
+    step = make_train_step(
+        mesh, mcfg, tcfg, opt, loss_variant="ranking", query_key="conv_qa"
+    )
+    state = init_train_state(params, opt)
+
+    B, R, L, DL = 8, 3, 8, 6
+    num_negs = np.asarray([3, 2, 1, 3, 2, 1, 3, 2], np.int32)
+    q_ids = rng.randint(4, mcfg.vocab_size, size=(B, L)).astype(np.int32)
+    p_ids = rng.randint(4, mcfg.vocab_size, size=(B, DL)).astype(np.int32)
+    n_ids = rng.randint(4, mcfg.vocab_size, size=(B, R, DL)).astype(np.int32)
+    batch = {
+        "conv_qa": jnp.asarray(q_ids), "conv_qa_mask": jnp.ones((B, L), jnp.int32),
+        "pos_docs": jnp.asarray(p_ids), "pos_docs_mask": jnp.ones((B, DL), jnp.int32),
+        "neg_docs": jnp.asarray(n_ids),
+        "neg_docs_mask": jnp.ones((B, R, DL), jnp.int32),
+        "num_negs": jnp.asarray(num_negs),
+        "valid": jnp.ones((B,), jnp.int32),
+    }
+    state1, loss = step(state, frozen, batch)
+    assert np.isfinite(float(loss))
+
+    # parity vs a direct re-derivation (dropout off in tiny config)
+    q = encode(params, mcfg, batch["conv_qa"], batch["conv_qa_mask"])
+    pos = encode(frozen, mcfg, batch["pos_docs"], batch["pos_docs_mask"])
+    negs = encode(
+        frozen, mcfg, batch["neg_docs"].reshape(B * R, DL),
+        jnp.ones((B * R, DL), jnp.int32),
+    ).reshape(B, R, -1)
+    neg_valid = (np.arange(R)[None, :] < num_negs[:, None]).astype(np.int32)
+    ref = float(ranking_loss(q, pos, negs, neg_valid=jnp.asarray(neg_valid)))
+    assert abs(float(loss) - ref) < 1e-5
+
+    # padded negative slots must not influence the loss: scramble tokens in
+    # every masked slot and re-run
+    scrambled = np.array(n_ids)
+    for b in range(B):
+        scrambled[b, num_negs[b]:] = rng.randint(
+            4, mcfg.vocab_size, size=(R - num_negs[b], DL)
+        )
+    batch2 = dict(batch, neg_docs=jnp.asarray(scrambled))
+    _, loss2 = step(state, frozen, batch2)
+    assert abs(float(loss) - float(loss2)) < 1e-5
+
+    # a REAL negative slot does influence it
+    tampered = np.array(n_ids)
+    tampered[0, 0] = rng.randint(4, mcfg.vocab_size, size=DL)
+    _, loss3 = step(state, frozen, dict(batch, neg_docs=jnp.asarray(tampered)))
+    assert abs(float(loss) - float(loss3)) > 1e-7
+
+
+def test_trainer_fit_multineg(rng):
+    """Trainer.fit over multineg examples shaped like
+    build_qrecc_multineg_examples output (lists of R token lists)."""
+    mesh = make_mesh(dp=8)
+    mcfg = ModelConfig.tiny()
+    tcfg = TrainConfig(
+        num_train_epochs=1, per_device_train_batch_size=1,
+        accumulation_steps=1, learning_rate=1e-3, print_steps=0,
+        is_pseudo_prepos=False, is_prepos_neg=False,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(0), mcfg)
+    frozen = init_encoder_params(jax.random.PRNGKey(1), mcfg)
+    R, DL = 3, 5
+    examples = []
+    for i in range(8):
+        n = 1 + i % R
+        negs = [rng.randint(4, mcfg.vocab_size, size=DL).tolist() for _ in range(n)]
+        masks = [[1] * DL] * n
+        while len(negs) < R:
+            negs.append([0] * DL)
+            masks.append([0] * DL)
+        examples.append({
+            "sample_id": f"s{i}",
+            "conv_qa": rng.randint(4, mcfg.vocab_size, size=6).tolist(),
+            "conv_qa_mask": [1] * 6,
+            "pos_docs": rng.randint(4, mcfg.vocab_size, size=DL).tolist(),
+            "pos_docs_mask": [1] * DL,
+            "neg_docs": negs, "neg_docs_mask": masks, "num_negs": n,
+        })
+    trainer = Trainer(mesh, mcfg, tcfg, loss_variant="ranking", query_key="conv_qa")
+    state, best = trainer.fit(params, frozen, examples)
+    assert np.isfinite(best)
+    assert int(state.global_step) >= 1
+
+
 def test_training_improves_retrieval():
     """End-to-end learning signal: after a few steps of contrastive
     training, queries move toward their gold passages (mean gold-vs-neg
