@@ -16,7 +16,8 @@ BASELINE_QPS = 2000; the ">=5x faiss-gpu per chip" target from
 BASELINE.json means vs_baseline >= 5.
 
 Measured on TPU v5e-1 (this kernel, exact, f32 index like the reference):
-~17.3k QPS (8.7x); bfloat16 index (BENCH_BF16=1): ~17.6k QPS (8.8x).
+~21.3k QPS (10.6x); bfloat16 index (BENCH_BF16=1): ~21.5k QPS (10.7x).
+(Round 1: 17.3k / 17.6k with the 2-D-grid kernel.)
 
 Outputs ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

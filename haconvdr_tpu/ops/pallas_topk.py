@@ -1,23 +1,28 @@
 """Pallas TPU kernel: fused exact inner-product top-k.
 
 Replaces faiss ``IndexFlatIP.search`` (src/test_HAConvDR_topiocqa.py:98-108)
-with a single fused pass: for each (query-tile, passage-tile) grid cell the
-kernel computes the score tile on the MXU and folds it into a running
-per-query top-k held in VMEM — scores NEVER materialize in HBM (the
+with a single fused pass: scores are computed on the MXU and folded into a
+running per-query top-k held in VMEM — they NEVER materialize in HBM (the
 XLA-level implementation in ops/topk.py writes a [Q, chunk] slab per step;
 at 2.5M passages that is ~40 GB of HBM traffic per 2k-query search).
 
-Selection algorithm (exact): maintain an UNSORTED best-k buffer plus its
-row minimum as a threshold.  Per passage tile that beats the threshold,
-run segment-group extraction rounds: each round scans the tile once in
-128-lane segments, inserting each segment's max into the buffer's argmin
-slot when it beats the running min — up to PT/128 inserts for one
-full-width pass (a threshold scan performs ~k + k·ln(N/k) inserts per
-query overall, so collapsing several inserts into one pass is the main
-selection lever; measured 151->118 ms f32 at 2.5M).  Rows of a query tile
-proceed in lockstep; exactness holds for any insert order because the
-buffer always retains the K largest values inserted so far and the loop
-runs until no remaining score beats the buffer min.
+Structure (v3, query-resident): the WHOLE query panel stays resident in
+VMEM and the grid is 1-D over passage tiles, so the passage matrix streams
+from HBM exactly ONCE per search (the previous 2-D grid re-streamed it per
+query tile: 8x the HBM traffic at 2k queries, which was the bf16 wall).
+Each grid step re-uses the streamed tile for every query subtile; Mosaic
+double-buffers the next tile's DMA under the current tile's compute.
+
+Selection (exact): per query subtile the kernel keeps an UNSORTED best-K
+buffer (the VMEM-resident output block itself) plus a row-min cache.  Per
+128-lane segment of the score tile it extracts the segment max and inserts
+it into the buffer's argmin slot when it beats the row min; the spill of
+the extraction-masked segment doubles as the scratch write, and the
+remaining-max is accumulated on the way (folded termination — no separate
+full-width scan).  Rare contended tiles loop extra rounds over the spilled
+scores until no remaining score beats the row min.  Exactness holds for
+any insert order because the buffer always retains the K largest values
+inserted so far and rounds continue until no remaining score can enter.
 
 Tie-break note: equal scores resolve by extraction order (earlier tile
 first, then argmax's lane order), matching the reference's
@@ -31,7 +36,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -40,87 +44,97 @@ NEG_INF = float(-jnp.inf)
 
 def _topk_kernel(
     n_valid_ref,  # SMEM scalar prefetch: [1] int32
-    q_ref,  # [QT, D] VMEM
-    p_ref,  # [PT, D] VMEM
-    out_s_ref,  # [QT, K] VMEM
-    out_i_ref,  # [QT, K] VMEM
-    best_s,  # scratch [QT, K] f32
-    best_i,  # scratch [QT, K] i32
-    scores,  # scratch [QT, PT] f32
+    q_ref,  # [QP, D] VMEM, resident across the whole grid
+    p_ref,  # [PT, D] VMEM, streamed per grid step
+    out_s_ref,  # [QP, K] VMEM, doubles as the running best-score buffer
+    out_i_ref,  # [QP, K] VMEM, running best-index buffer
+    scores,  # scratch [qt, PT] f32: extraction workspace for one subtile
+    rmin,  # scratch [QP, 1] f32: per-row buffer-min cache
     *,
     k: int,
     pt: int,
+    qt: int,
+    sw: int,
 ):
-    j = pl.program_id(1)
-    n_p = pl.num_programs(1)
-    QT = q_ref.shape[0]
-    K = best_s.shape[1]
+    j = pl.program_id(0)
+    QP = q_ref.shape[0]
+    K = out_s_ref.shape[1]
+    n_seg = pt // sw
 
     @pl.when(j == 0)
     def _():
-        best_s[...] = jnp.full(best_s.shape, NEG_INF, jnp.float32)
-        best_i[...] = jnp.full(best_i.shape, -1, jnp.int32)
+        out_s_ref[...] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
+        out_i_ref[...] = jnp.full(out_i_ref.shape, -1, jnp.int32)
+        rmin[...] = jnp.full(rmin.shape, NEG_INF, jnp.float32)
 
-    s = jax.lax.dot_general(
-        q_ref[...],
-        p_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [QT, PT]
     base = j * pt
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (QT, pt), 1)
-    s = jnp.where(base + col_ids < n_valid_ref[0], s, NEG_INF)
+    nv = n_valid_ref[0]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (qt, sw), 1)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (qt, K), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (qt, pt), 1)
 
-    def group_round():
-        """Insert up to one candidate per 128-lane segment per row.
+    def extract_insert(seg, g, r0, rm):
+        """One extraction round on one segment: take the segment max, mask
+        it out UNCONDITIONALLY (a row max <= the row min can never enter
+        the top-k, so losing it from the workspace is exact), insert into
+        the best buffer's argmin slot for rows where it beats the row min;
+        returns the masked segment and the updated row-min cache."""
+        val = jnp.max(seg, axis=1)
+        lane = jnp.argmax(seg, axis=1).astype(jnp.int32)
+        act = val > rm
+        masked = jnp.where(lane_ids == lane[:, None], NEG_INF, seg)
+        bs = out_s_ref[r0 : r0 + qt, :]
+        amin = jnp.argmin(bs, axis=1).astype(jnp.int32)
+        slot = (k_ids == amin[:, None]) & act[:, None]
+        out_s_ref[r0 : r0 + qt, :] = jnp.where(slot, val[:, None], bs)
+        out_i_ref[r0 : r0 + qt, :] = jnp.where(
+            slot, base + g * sw + lane[:, None], out_i_ref[r0 : r0 + qt, :]
+        )
+        rm = jnp.min(out_s_ref[r0 : r0 + qt, :], axis=1)
+        return masked, rm
 
-        Same total VPU element-work as ONE one_insert round (the per-
-        segment max/argmax/mask passes tile the full width exactly once)
-        but lands up to PT/128 inserts, collapsing the typical
-        several-inserts-per-tile case into a single round.  Built from 2D
-        segment ops only (3D argmax does not lower in Mosaic)."""
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
-        k_ids = jax.lax.broadcasted_iota(jnp.int32, (QT, K), 1)
-        for g in range(pt // 128):
-            seg = scores[:, g * 128 : (g + 1) * 128]
-            bs = best_s[...]
-            val = jnp.max(seg, axis=1)  # [QT]
-            lane = jnp.argmax(seg, axis=1).astype(jnp.int32)
-            active = val > jnp.min(bs, axis=1)
-            hit = (lane_ids == lane[:, None]) & active[:, None]
-            scores[:, g * 128 : (g + 1) * 128] = jnp.where(hit, NEG_INF, seg)
-            amin = jnp.argmin(bs, axis=1).astype(jnp.int32)
-            slot = (k_ids == amin[:, None]) & active[:, None]
-            best_s[...] = jnp.where(slot, val[:, None], bs)
-            best_i[...] = jnp.where(
-                slot, base + g * 128 + lane[:, None], best_i[...]
-            )
+    for t in range(QP // qt):
+        r0 = t * qt
+        s = jax.lax.dot_general(
+            q_ref[r0 : r0 + qt, :],
+            p_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [qt, PT]
+        s = jnp.where(base + col_ids < nv, s, NEG_INF)
 
-    def round_body(carry):
-        _ = carry
-        group_round()
-        new_val = jnp.max(scores[...], axis=1)
-        new_min = jnp.min(best_s[...], axis=1)
-        return jnp.any(new_val > new_min)
+        # round 1, straight from registers: the extraction-masked segment
+        # write IS the spill, and the remaining-max accumulates on the way
+        rm = rmin[r0 : r0 + qt, 0]
+        rem = jnp.full((qt,), NEG_INF, jnp.float32)
+        for g in range(n_seg):
+            masked, rm = extract_insert(s[:, g * sw : (g + 1) * sw], g, r0, rm)
+            scores[:, g * sw : (g + 1) * sw] = masked
+            rem = jnp.maximum(rem, jnp.max(masked, axis=1))
+        rmin[r0 : r0 + qt, 0] = rm
 
-    # cheap pre-check: most tiles lose to the running threshold outright,
-    # in which case the score tile is never spilled to scratch at all
-    first_val = jnp.max(s, axis=1)
-    first_min = jnp.min(best_s[...], axis=1)
+        def round_body(carry, r0=r0):
+            _ = carry
+            rm2 = rmin[r0 : r0 + qt, 0]
+            rem2 = jnp.full((qt,), NEG_INF, jnp.float32)
+            for g in range(n_seg):
+                masked, rm2 = extract_insert(
+                    scores[:, g * sw : (g + 1) * sw], g, r0, rm2
+                )
+                scores[:, g * sw : (g + 1) * sw] = masked
+                rem2 = jnp.maximum(rem2, jnp.max(masked, axis=1))
+            rmin[r0 : r0 + qt, 0] = rm2
+            return jnp.any(rem2 > rm2)
 
-    @pl.when(jnp.any(first_val > first_min))
-    def _():
-        scores[...] = s
-        jax.lax.while_loop(lambda c: c, round_body, True)
-
-    @pl.when(j == n_p - 1)
-    def _():
-        out_s_ref[...] = best_s[...]
-        out_i_ref[...] = best_i[...]
+        # contended tiles only: several candidates in one sw-lane segment
+        @pl.when(jnp.any(rem > rm))
+        def _(round_body=round_body):
+            jax.lax.while_loop(lambda c: c, round_body, True)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "q_tile", "p_tile", "interpret")
+    jax.jit,
+    static_argnames=("k", "q_tile", "p_tile", "q_panel", "seg_width", "interpret"),
 )
 def pallas_topk_block(
     queries: jax.Array,  # [Q, D]
@@ -129,57 +143,83 @@ def pallas_topk_block(
     k: int,
     q_tile: int = 256,
     p_tile: int = 0,
+    q_panel: int = 0,
+    seg_width: int = 0,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact (scores [Q, K], indices [Q, K]) top-k, K = k padded to a
     multiple of 128 lanes; callers slice [:, :k] after a final sort.
 
-    Tile defaults are VMEM-tuned for v5e (16 MB): the double-buffered
-    passage tile dominates, so p_tile is 2048 rows for bfloat16 and 1024
-    for float32 (measured: 17.6k bf16 / 17.3k f32 QPS at 2.5M x 768, vs 94.5/55 ms matmul-only floors)."""
+    ``q_panel`` rows of queries are held VMEM-resident per kernel launch
+    (larger panels amortize the single HBM stream over more queries);
+    panels beyond that chunk at the XLA level.  Defaults are VMEM-tuned
+    for v5e (16 MB): p_tile 1024, panel 2048 rows bf16 / 1024 rows f32.
+    bfloat16 passages run the MXU in bf16 (queries are cast to match;
+    scores still accumulate in f32)."""
     Q, D = queries.shape
     N, D2 = passages.shape
     assert D == D2
+    if passages.dtype == jnp.bfloat16 and queries.dtype != jnp.bfloat16:
+        queries = queries.astype(jnp.bfloat16)
     if p_tile == 0:
-        p_tile = 2048 if passages.dtype == jnp.bfloat16 else 1024
+        p_tile = 1024
     assert N % p_tile == 0, "pad passages to a multiple of p_tile"
+    if q_panel == 0:
+        q_panel = 2048 if passages.dtype == jnp.bfloat16 else 1024
+    if seg_width == 0:
+        seg_width = 128  # measured optimum: wider segments pay cross-tile
+        # reduction relayouts in Mosaic that outweigh the per-segment
+        # insert-op savings (128: 100 ms; 256: 195 ms; 512: 152 ms at 2.5M)
+    assert p_tile % seg_width == 0 and seg_width % 128 == 0
     if Q < q_tile:  # small/online batches: shrink to the 8-sublane floor
         q_tile = max(8, -(-Q // 8) * 8)
+    q_panel = max(q_tile, q_panel - q_panel % q_tile)
     q_pad = -Q % q_tile
-    if q_pad:  # whole query tiles; padded rows sliced off below
+    if q_pad:  # whole query subtiles; padded rows sliced off below
         queries = jnp.concatenate(
             [queries, jnp.zeros((q_pad, D), queries.dtype)], axis=0
         )
     Qp = Q + q_pad
     K = -(-k // 128) * 128
+    nv = jnp.asarray([n_valid], jnp.int32).reshape(1)
 
-    grid = (Qp // q_tile, N // p_tile)
-    kernel = functools.partial(_topk_kernel, k=k, pt=p_tile)
-    out_s, out_i = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((q_tile, D), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((p_tile, D), lambda i, j, *_: (j, 0)),
+    def run_panel(panel: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        QP = panel.shape[0]
+        kernel = functools.partial(
+            _topk_kernel, k=k, pt=p_tile, qt=q_tile, sw=seg_width
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(N // p_tile,),
+                in_specs=[
+                    pl.BlockSpec((QP, D), lambda j, *_: (0, 0)),
+                    pl.BlockSpec((p_tile, D), lambda j, *_: (j, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((QP, K), lambda j, *_: (0, 0)),
+                    pl.BlockSpec((QP, K), lambda j, *_: (0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((q_tile, p_tile), jnp.float32),
+                    pltpu.VMEM((QP, 1), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((QP, K), jnp.float32),
+                jax.ShapeDtypeStruct((QP, K), jnp.int32),
             ],
-            out_specs=[
-                pl.BlockSpec((q_tile, K), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((q_tile, K), lambda i, j, *_: (i, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((q_tile, K), jnp.float32),
-                pltpu.VMEM((q_tile, K), jnp.int32),
-                pltpu.VMEM((q_tile, p_tile), jnp.float32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((Qp, K), jnp.float32),
-            jax.ShapeDtypeStruct((Qp, K), jnp.int32),
-        ],
-        interpret=interpret,
-    )(jnp.asarray([n_valid], jnp.int32).reshape(1), queries, passages)
+            interpret=interpret,
+        )(nv, panel, passages)
+
+    parts_s, parts_i = [], []
+    for c0 in range(0, Qp, q_panel):
+        ps, pi = run_panel(queries[c0 : min(c0 + q_panel, Qp)])
+        parts_s.append(ps)
+        parts_i.append(pi)
+    out_s = parts_s[0] if len(parts_s) == 1 else jnp.concatenate(parts_s)
+    out_i = parts_i[0] if len(parts_i) == 1 else jnp.concatenate(parts_i)
 
     # buffer is unsorted; order + trim to k (ties: lower index first like
     # lax.top_k by biasing the sort key with the index)
