@@ -1,0 +1,323 @@
+"""Differential whole-pipeline parity against the REFERENCE'S OWN CODE.
+
+The reference's executable pieces that run on CPU torch in this image —
+``src/models.py`` (ANCE) and ``src/data.py`` (``Retrieval_topiocqa``, eval
+branch) — are imported directly from /root/reference and run on a
+fabricated mini-TopiOCQA; the rebuild must produce byte-identical token
+sequences, matching embeddings, and an identical TREC run through its own
+components.  This converts the data-layer "intended behavior" claims
+(SURVEY.md SS7 hard part (c)) into executed evidence.
+
+Only read-only imports of the reference are performed; pieces whose modules
+cannot be imported here (test_HAConvDR_topiocqa.py imports faiss and
+pytrec_eval, neither installed) are replicated inline as cited oracles
+(output_test_res dedup+write, src/test_HAConvDR_topiocqa.py:229-283).
+"""
+
+import importlib.util
+import json
+import os
+import sys
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from haconvdr_tpu.config import DataConfig, ModelConfig
+from haconvdr_tpu.models.encoder import encode, init_encoder_params
+from haconvdr_tpu.models.hf_import import save_hf_checkpoint
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+REF = "/root/reference/src"
+
+
+def _load_ref_module(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    ref_models = _load_ref_module("_ref_models", os.path.join(REF, "models.py"))
+    ref_data = _load_ref_module("_ref_data", os.path.join(REF, "data.py"))
+    return ref_models, ref_data
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    """Byte-level-BPE tokenizer + tiny converted ANCE checkpoint that both
+    the reference torch classes and the rebuild load."""
+    out = tmp_path_factory.mktemp("refdiff_ckpt")
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "<mask>": 4}
+    for s in bytes_to_unicode().values():
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    with open(out / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(out / "merges.txt", "w") as f:
+        f.write("#version: 0.2\nt h\nth e\n")
+    # the reference ANCE hardcodes a 768-d head (src/models.py:27-28)
+    cfg = ModelConfig.tiny(
+        vocab_size=len(vocab) + 8, max_position_embeddings=80, embedding_dim=768
+    )
+    params = init_encoder_params(jax.random.PRNGKey(7), cfg)
+    save_hf_checkpoint(params, cfg, str(out))
+    return str(out), cfg, params
+
+
+def _mini_topiocqa(path):
+    """3 conversations x up to 3 turns; rel_label mixes exercise the PRL
+    branch, the all-zero branch, and first turns."""
+    docs = {
+        1: "the cat sat on the mat",
+        2: "dogs chase the red ball",
+        3: "teapots hold hot tea",
+        4: "a mouse hid under the chair",
+        5: "rivers flow to the sea",
+        6: "the moon orbits the earth",
+    }
+    recs = [
+        # conv 1
+        {"sample_id": "1_1", "cur_utt_text": "what do cats sit on",
+         "last_response": "", "rel_label": [],
+         "pos_docs": [docs[1]], "pos_docs_pids": [1]},
+        {"sample_id": "1_2",
+         "cur_utt_text": "what do cats sit on [SEP] the mat [SEP] and dogs chase what",
+         "last_response": docs[1], "rel_label": [1],
+         "pos_docs": [docs[2]], "pos_docs_pids": [2]},
+        {"sample_id": "1_3",
+         "cur_utt_text": "what do cats sit on [SEP] the mat [SEP] and dogs chase what [SEP] a red ball [SEP] where does tea go",
+         "last_response": docs[2], "rel_label": [0, 1],
+         "pos_docs": [docs[3]], "pos_docs_pids": [3]},
+        # conv 2 (all-zero labels)
+        {"sample_id": "2_1", "cur_utt_text": "where do rivers flow",
+         "last_response": "", "rel_label": [],
+         "pos_docs": [docs[5]], "pos_docs_pids": [5]},
+        {"sample_id": "2_2",
+         "cur_utt_text": "where do rivers flow [SEP] to the sea [SEP] what orbits the earth",
+         "last_response": docs[5], "rel_label": [0],
+         "pos_docs": [docs[6]], "pos_docs_pids": [6]},
+    ]
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    return recs, docs
+
+
+def _ref_args(**kw):
+    base = dict(
+        is_train=False, use_PRL=False, is_PRF=False, PRF_top=1,
+        max_query_length=16, max_doc_length=24, max_response_length=16,
+        max_concat_length=48, hard_neg_type="bm25",
+        is_pseudo_prepos=False,
+    )
+    base.update(kw)
+    return Namespace(**base)
+
+
+def _our_cfg(**kw):
+    base = dict(
+        dataset="topiocqa", is_train=False, use_PRL=False, is_PRF=False,
+        PRF_top=1, max_query_length=16, max_doc_length=24,
+        max_response_length=16, max_concat_length=48,
+    )
+    base.update(kw)
+    return DataConfig(**base)
+
+
+@pytest.mark.parametrize("use_prl", [False, True])
+def test_conv_qp_tokens_match_reference(ref_modules, ckpt, tmp_path, use_prl):
+    """The eval-side conversation concat (conv_qp) must be byte-identical
+    to the reference Retrieval_topiocqa's flat_qp_concat
+    (/root/reference/src/data.py:25-199)."""
+    _, ref_data = ref_modules
+    ckpt_dir, _, _ = ckpt
+    tok = transformers.RobertaTokenizer.from_pretrained(ckpt_dir)
+    test_file = tmp_path / "test.json"
+    _mini_topiocqa(test_file)
+
+    ref_ds = ref_data.Retrieval_topiocqa(
+        _ref_args(use_PRL=use_prl), tok, str(test_file)
+    )
+    collate = ref_data.Retrieval_topiocqa.get_collate_fn(_ref_args(use_PRL=use_prl))
+    ref_batch = collate([ref_ds[i] for i in range(len(ref_ds))])
+
+    from haconvdr_tpu.data.topiocqa import build_topiocqa_test_examples
+
+    ours = build_topiocqa_test_examples(
+        _our_cfg(use_PRL=use_prl), tok, str(test_file)
+    )
+    assert len(ours) == len(ref_ds)
+    ref_qp = np.asarray(ref_batch["bt_conv_qp"])
+    ref_qp_mask = np.asarray(ref_batch["bt_conv_qp_mask"])
+    ref_raw = np.asarray(ref_batch["bt_raw_query"])
+    for i, ex in enumerate(ours):
+        assert ref_batch["bt_sample_ids"][i] == ex["sample_id"]
+        np.testing.assert_array_equal(ref_qp[i], np.asarray(ex["conv_qp"]),
+                                      err_msg=f"conv_qp sample {i}")
+        np.testing.assert_array_equal(ref_qp_mask[i], np.asarray(ex["conv_qp_mask"]))
+        np.testing.assert_array_equal(ref_raw[i], np.asarray(ex["raw_query"]))
+
+
+def test_query_embeddings_match_reference(ref_modules, ckpt, tmp_path):
+    """Our JAX encoder on the reference dataset's token output must match
+    the reference torch ANCE (src/models.py:20-64) in float64."""
+    ref_models, ref_data = ref_modules
+    ckpt_dir, mcfg, params = ckpt
+    tok = transformers.RobertaTokenizer.from_pretrained(ckpt_dir)
+    test_file = tmp_path / "test.json"
+    _mini_topiocqa(test_file)
+
+    ref_ds = ref_data.Retrieval_topiocqa(_ref_args(), tok, str(test_file))
+    collate = ref_data.Retrieval_topiocqa.get_collate_fn(_ref_args())
+    batch = collate([ref_ds[i] for i in range(len(ref_ds))])
+
+    config = transformers.RobertaConfig.from_pretrained(ckpt_dir)
+    ance = ref_models.ANCE.from_pretrained(ckpt_dir, config=config).double().eval()
+    with torch.no_grad():
+        ref_emb = ance.query_emb(
+            batch["bt_conv_qp"], batch["bt_conv_qp_mask"]
+        ).numpy()
+
+    import dataclasses
+
+    mcfg64 = dataclasses.replace(mcfg, dtype="float64")
+    params64 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float64), params
+    )
+    ours = np.asarray(
+        encode(
+            params64, mcfg64,
+            jnp.asarray(np.asarray(batch["bt_conv_qp"])),
+            jnp.asarray(np.asarray(batch["bt_conv_qp_mask"])),
+        )
+    )
+    np.testing.assert_allclose(ours, ref_emb, rtol=1e-8, atol=1e-8)
+
+
+def test_trec_run_matches_reference_semantics(ref_modules, ckpt, tmp_path):
+    """End-to-end run-file differential: the same embeddings pushed through
+    (a) an inline oracle of the reference's brute-force + output_test_res
+    dedup/format (src/test_HAConvDR_topiocqa.py:229-283, quirks included)
+    and (b) our BlockSearcher + dedup_ranked_candidates + write_run must
+    produce identical TREC files; metrics over both runs must agree."""
+    ref_models, ref_data = ref_modules
+    ckpt_dir, mcfg, params = ckpt
+    tok = transformers.RobertaTokenizer.from_pretrained(ckpt_dir)
+    test_file = tmp_path / "test.json"
+    recs, docs = _mini_topiocqa(test_file)
+
+    ref_ds = ref_data.Retrieval_topiocqa(_ref_args(), tok, str(test_file))
+    collate = ref_data.Retrieval_topiocqa.get_collate_fn(_ref_args())
+    batch = collate([ref_ds[i] for i in range(len(ref_ds))])
+    qids = list(batch["bt_sample_ids"])
+
+    # shared embeddings (ours, f32): queries from the REFERENCE's token
+    # output; passages tokenized the same way both sides would
+    q = np.asarray(encode(
+        params, mcfg,
+        jnp.asarray(np.asarray(batch["bt_conv_qp"])),
+        jnp.asarray(np.asarray(batch["bt_conv_qp_mask"])),
+    ), np.float32)
+    pids = sorted(docs)
+    from haconvdr_tpu.data.sequence import encode_trunc, pad_seq_to_length
+
+    p_ids, p_masks = [], []
+    for pid in pids:
+        ids, mask = pad_seq_to_length(encode_trunc(tok, docs[pid], 24), 24)
+        p_ids.append(ids)
+        p_masks.append(mask)
+    p = np.asarray(encode(
+        params, mcfg, jnp.asarray(np.asarray(p_ids)), jnp.asarray(np.asarray(p_masks))
+    ), np.float32)
+    offset2pid = list(pids)
+    # rank the full mini-corpus: the tiny random model yields near-tied
+    # scores, and a selection boundary would make membership at rank k
+    # accumulation-order-dependent rather than semantics-dependent
+    top_k = len(pids)
+
+    # (a) reference-semantics oracle: numpy brute force (faiss IndexFlatIP
+    # order: by score desc) + output_test_res dedup and line format
+    scores = q @ p.T
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :top_k]
+    oracle_file = tmp_path / "oracle.trec"
+    with open(oracle_file, "w") as g:
+        for qi, qid in enumerate(qids):
+            seen, rank = set(), 0
+            ranked = [(0, 0.0)] * top_k
+            for idx in order[qi]:
+                pid = offset2pid[idx]
+                if pid in seen:
+                    continue
+                ranked[rank] = (pid, float(scores[qi, idx]))
+                rank += 1
+                seen.add(pid)
+            for i in range(top_k):
+                pid, score = ranked[i]
+                g.write(f"{qid} Q0 {pid} {i + 1} {-i - 1 + 200} {score} ance\n")
+
+    # (b) the rebuild's components end to end
+    from haconvdr_tpu.eval.trec import dedup_ranked_candidates, write_run
+    from haconvdr_tpu.ops.topk import BlockSearcher
+
+    searcher = BlockSearcher(top_k=top_k, passage_chunk=8, use_pallas=False)
+    s2, i2 = searcher.search(q, [(p, np.arange(len(pids), dtype=np.int64))])
+    ranked = dedup_ranked_candidates(qids, s2, i2, offset2pid, top_k)
+    ours_file = tmp_path / "ours.trec"
+    write_run(ranked, str(ours_file))
+
+    oracle_lines = open(oracle_file).read().splitlines()
+    ours_lines = open(ours_file).read().splitlines()
+    assert len(oracle_lines) == len(ours_lines)
+    per_q = {}
+    for la, lb in zip(oracle_lines, ours_lines):
+        fa, fb = la.split(), lb.split()
+        # qid / Q0 / rank / 200-rank / tag columns are exact
+        assert (fa[0], fa[1], fa[3], fa[4], fa[6]) == (
+            fb[0], fb[1], fb[3], fb[4], fb[6]
+        ), (la, lb)
+        assert fa[6] == "ance"
+        # scores agree to f32 accumulation-order tolerance (numpy oracle
+        # matmul vs the on-device chunked matmul)
+        sa, sb = float(fa[5]), float(fb[5])
+        tol = 1e-5 * max(1.0, abs(sa))
+        assert abs(sa - sb) <= tol, (la, lb)
+        # pids agree exactly EXCEPT within score ties, where extraction
+        # order may legitimately differ (documented divergence; the tied
+        # pids must still be the same set per query — checked below)
+        if fa[2] != fb[2]:
+            assert abs(sa - sb) <= tol, (la, lb)
+        per_q.setdefault(fa[0], ([], []))
+        per_q[fa[0]][0].append(fa[2])
+        per_q[fa[0]][1].append(fb[2])
+    for qid, (pa, pb) in per_q.items():
+        assert sorted(pa) == sorted(pb), qid
+
+    # metric agreement over the shared qrels
+    qrel_file = tmp_path / "qrel.trec"
+    with open(qrel_file, "w") as f:
+        for r in recs:
+            f.write(f"{r['sample_id']} 0 {r['pos_docs_pids'][0]} 1\n")
+    from haconvdr_tpu.eval.trec import print_trec_res
+
+    m1 = print_trec_res(str(oracle_file), str(qrel_file), rel_threshold=1)
+    m2 = print_trec_res(str(ours_file), str(qrel_file), rel_threshold=1)
+    # score ties in the tiny random model can move a gold passage by one
+    # rank between the two accumulation orders; metrics must agree to that
+    # tie wiggle (exact metric-harness parity is covered by
+    # tests/test_metrics.py golden cases)
+    for key in m1:
+        assert abs(m1[key] - m2[key]) <= 2.0, (key, m1[key], m2[key])
+    assert m1["MRR"] > 0 and m2["MRR"] > 0
