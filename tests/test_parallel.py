@@ -110,3 +110,64 @@ def test_sharded_index_from_store_bf16(rng, tmp_path):
         len(set(got[i]) & set(np.asarray(ref_i)[i])) / 10 for i in range(4)
     ])
     assert overlap >= 0.9, overlap
+
+
+def test_two_host_encode_simulation(rng, tmp_path):
+    """Multi-host corpus encode simulated on the virtual mesh: two
+    stride/offset passes (the 'hosts' — the TPU analog of the reference's
+    rank-mod StreamingDataset, src/utils.py:133-147) write disjoint block
+    ranges into one shared store; stitched, they must reproduce the
+    single-pass encode exactly (same offset -> embedding map)."""
+    from haconvdr_tpu.index.build import encode_corpus
+    from haconvdr_tpu.index.store import (
+        EmbeddingBlockStore,
+        TokenizedCorpus,
+        TokenizedCorpusWriter,
+    )
+
+    cfg = ModelConfig.tiny()
+    params = init_encoder_params(jax.random.PRNGKey(2), cfg)
+    mesh = make_mesh(dp=8)
+    fn = make_sharded_encode_fn(mesh, cfg)
+    sp = shard_params(mesh, params)
+
+    L, n = 10, 53  # ragged vs batch (8) and block (16) sizes
+    w = TokenizedCorpusWriter(str(tmp_path / "tok"), L)
+    for i in range(n):
+        w.add(
+            1000 + i,
+            rng.randint(4, cfg.vocab_size, size=rng.randint(3, L + 1)).tolist(),
+        )
+    w.finalize()
+    corpus = TokenizedCorpus(str(tmp_path / "tok"))
+
+    encode_corpus(
+        corpus, fn, sp, str(tmp_path / "single"),
+        batch_size=8, per_block_passage_num=16,
+    )
+    shared = str(tmp_path / "shared")
+    # host 0: even offsets, blocks [0, 2); host 1: odd offsets, blocks [2, ..)
+    encode_corpus(
+        corpus, fn, sp, shared, batch_size=8, per_block_passage_num=16,
+        stride=2, offset=0, start_block_id=0,
+    )
+    encode_corpus(
+        corpus, fn, sp, shared, batch_size=8, per_block_passage_num=16,
+        stride=2, offset=1, start_block_id=2,
+    )
+
+    def id_map(store_dir):
+        store = EmbeddingBlockStore(store_dir)
+        out = {}
+        for b in range(store.num_blocks()):
+            emb, ids = store.read_block(b)
+            for row, off in zip(np.asarray(emb), np.asarray(ids)):
+                assert int(off) not in out
+                out[int(off)] = row
+        return out
+
+    single = id_map(str(tmp_path / "single"))
+    stitched = id_map(shared)
+    assert set(single) == set(stitched) == set(range(n))
+    for off in single:
+        np.testing.assert_array_equal(single[off], stitched[off])
