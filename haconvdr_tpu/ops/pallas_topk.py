@@ -32,7 +32,7 @@ earlier-block-wins merge (":131-149") at block granularity.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,16 +46,19 @@ def _topk_kernel(
     n_valid_ref,  # SMEM scalar prefetch: [1] int32
     q_ref,  # [QP, D] VMEM, resident across the whole grid
     p_ref,  # [PT, D] VMEM, streamed per grid step
-    out_s_ref,  # [QP, K] VMEM, doubles as the running best-score buffer
-    out_i_ref,  # [QP, K] VMEM, running best-index buffer
-    scores,  # scratch [qt, PT] f32: extraction workspace for one subtile
-    rmin,  # scratch [QP, 1] f32: per-row buffer-min cache
-    *,
+    *rest,  # [init_ref if seeded,] out_s_ref, out_i_ref, scores, rmin
     k: int,
     pt: int,
     qt: int,
     sw: int,
+    seeded: bool = False,
 ):
+    if seeded:
+        # init_ref: [QP, K] seed scores (cross-block running thresholds)
+        init_ref, out_s_ref, out_i_ref, scores, rmin = rest
+    else:
+        out_s_ref, out_i_ref, scores, rmin = rest
+        init_ref = None
     j = pl.program_id(0)
     QP = q_ref.shape[0]
     K = out_s_ref.shape[1]
@@ -63,9 +66,18 @@ def _topk_kernel(
 
     @pl.when(j == 0)
     def _():
-        out_s_ref[...] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
+        if init_ref is None:
+            out_s_ref[...] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
+            rmin[...] = jnp.full(rmin.shape, NEG_INF, jnp.float32)
+        else:
+            # seed the buffer with the running best of PREVIOUS blocks:
+            # later blocks then skip the threshold ramp (the reference's
+            # per-block faiss search re-pays it every block).  Seed
+            # survivors carry id -1 and are re-supplied by the caller's
+            # running merge.
+            out_s_ref[...] = init_ref[...]
+            rmin[...] = jnp.min(init_ref[...], axis=1, keepdims=True)
         out_i_ref[...] = jnp.full(out_i_ref.shape, -1, jnp.int32)
-        rmin[...] = jnp.full(rmin.shape, NEG_INF, jnp.float32)
 
     base = j * pt
     nv = n_valid_ref[0]
@@ -145,6 +157,7 @@ def pallas_topk_block(
     p_tile: int = 0,
     q_panel: int = 0,
     seg_width: int = 0,
+    init_scores: Optional[jax.Array] = None,  # [Q, >=k] running thresholds
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact (scores [Q, K], indices [Q, K]) top-k, K = k padded to a
@@ -182,21 +195,33 @@ def pallas_topk_block(
     Qp = Q + q_pad
     K = -(-k // 128) * 128
     nv = jnp.asarray([n_valid], jnp.int32).reshape(1)
+    seeded = init_scores is not None
+    if seeded:
+        init = jnp.full((Qp, K), NEG_INF, jnp.float32)
+        init = init.at[:Q, : init_scores.shape[1]].set(
+            init_scores.astype(jnp.float32)
+        )
 
-    def run_panel(panel: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def run_panel(c0: int, c1: int) -> Tuple[jax.Array, jax.Array]:
+        panel = queries[c0:c1]
         QP = panel.shape[0]
         kernel = functools.partial(
-            _topk_kernel, k=k, pt=p_tile, qt=q_tile, sw=seg_width
+            _topk_kernel, k=k, pt=p_tile, qt=q_tile, sw=seg_width, seeded=seeded
         )
+        in_specs = [
+            pl.BlockSpec((QP, D), lambda j, *_: (0, 0)),
+            pl.BlockSpec((p_tile, D), lambda j, *_: (j, 0)),
+        ]
+        operands = [nv, panel, passages]
+        if seeded:
+            in_specs.append(pl.BlockSpec((QP, K), lambda j, *_: (0, 0)))
+            operands.append(init[c0:c1])
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(N // p_tile,),
-                in_specs=[
-                    pl.BlockSpec((QP, D), lambda j, *_: (0, 0)),
-                    pl.BlockSpec((p_tile, D), lambda j, *_: (j, 0)),
-                ],
+                in_specs=in_specs,
                 out_specs=[
                     pl.BlockSpec((QP, K), lambda j, *_: (0, 0)),
                     pl.BlockSpec((QP, K), lambda j, *_: (0, 0)),
@@ -211,11 +236,11 @@ def pallas_topk_block(
                 jax.ShapeDtypeStruct((QP, K), jnp.int32),
             ],
             interpret=interpret,
-        )(nv, panel, passages)
+        )(*operands)
 
     parts_s, parts_i = [], []
     for c0 in range(0, Qp, q_panel):
-        ps, pi = run_panel(queries[c0 : min(c0 + q_panel, Qp)])
+        ps, pi = run_panel(c0, min(c0 + q_panel, Qp))
         parts_s.append(ps)
         parts_i.append(pi)
     out_s = parts_s[0] if len(parts_s) == 1 else jnp.concatenate(parts_s)

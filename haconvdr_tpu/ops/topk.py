@@ -182,15 +182,58 @@ class BlockSearcher:
             assert query_chunk % 128 == 0, "pallas path needs 128-aligned query chunks"
         self._merge = jax.jit(functools.partial(merge_topk, k=top_k))
 
-    def _block_topk(self, queries, passages, n_valid):
+        @jax.jit
+        def _search_block(best_s, best_ids, queries, passages, ids_arr, n_valid):
+            """One block's whole step — per-query-chunk top-k (threshold-
+            seeded on the pallas path), local->global id map (":110") and
+            running merge — as a single dispatch: per-block host
+            round-trips add up on high-latency links."""
+            Q = best_s.shape[0]
+            qn = queries.shape[0]
+            if self.use_pallas and qn > Q:
+                best_s_pad = jnp.concatenate(
+                    [best_s, jnp.full((qn - Q, top_k), NEG_INF, jnp.float32)]
+                )
+            else:
+                best_s_pad = best_s
+            s_parts, i_parts = [], []
+            for qs in range(0, qn, self.query_chunk):
+                qe = min(qn, qs + self.query_chunk)
+                init = best_s_pad[qs:qe] if self.use_pallas else None
+                s, i = self._block_topk(queries[qs:qe], passages, n_valid, init)
+                s_parts.append(s)
+                i_parts.append(i)
+            block_s = jnp.concatenate(s_parts, axis=0)[:Q]
+            block_i = jnp.concatenate(i_parts, axis=0)[:Q]
+            # id -1 entries are threshold-seed survivors (or unfilled
+            # slots): their scores are dropped here and re-supplied by the
+            # running best they came from
+            block_ids = ids_arr[jnp.clip(block_i, 0, n_valid - 1)]
+            block_ids = jnp.where(block_i >= 0, block_ids, -1)
+            block_s = jnp.where(block_i >= 0, block_s, NEG_INF)
+            new_s, pos = jax.lax.top_k(
+                jnp.concatenate([best_s, block_s], axis=1), top_k
+            )
+            new_ids = jnp.take_along_axis(
+                jnp.concatenate([best_ids, block_ids], axis=1), pos, axis=1
+            )
+            return new_s, new_ids
+
+        self._search_block = _search_block
+
+    def _block_topk(self, queries, passages, n_valid, init_scores=None):
         """Per-block exact top-k: fused Pallas kernel on TPU, blocked XLA
         scan elsewhere.  Both are exact; the kernel avoids materializing
-        score slabs in HBM (ops/pallas_topk.py)."""
+        score slabs in HBM (ops/pallas_topk.py).  ``init_scores`` seeds the
+        kernel's thresholds with the running best of previous blocks so
+        later blocks skip the selection ramp (seed survivors come back
+        with id -1 and are dropped at merge)."""
         if self.use_pallas:
             from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
 
             return pallas_topk_block(
-                queries, passages, jnp.int32(n_valid), self.top_k
+                queries, passages, jnp.int32(n_valid), self.top_k,
+                init_scores=init_scores,
             )
         return topk_block(
             queries, passages, jnp.int32(n_valid), self.top_k, self.passage_chunk
@@ -200,12 +243,15 @@ class BlockSearcher:
         self,
         query_embs: np.ndarray,  # [Q, D]
         blocks: Iterable[Tuple[np.ndarray, np.ndarray]],  # (emb [Nb,D], ids [Nb])
+        return_device: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores [Q, k], passage_ids [Q, k]) over all blocks.
 
         ``ids`` are the per-block embedding->offset arrays (the reference's
         passage_embid_block_*, gen_doc_embeddings.py:133-135); output ids
-        are already mapped through them.
+        are already mapped through them.  Device-resident inputs (jax
+        arrays) take a zero-host-copy path; ``return_device`` skips the
+        final device->host pull for callers that keep consuming on device.
         """
         k = self.top_k
         Q = query_embs.shape[0]
@@ -213,24 +259,39 @@ class BlockSearcher:
         # int32 offsets: corpora up to 2^31 rows (reference max 54.6M)
         best_ids = jnp.full((Q, k), -1, jnp.int32)
 
-        queries_np = np.asarray(query_embs)
-        if self.use_pallas:  # pallas grid needs whole query tiles
-            queries_np = _pad_rows(queries_np, 128)
-        queries = jnp.asarray(queries_np, self.compute_dtype)
+        if isinstance(query_embs, jax.Array):
+            q_pad = (-Q % 128) if self.use_pallas else 0
+            queries = query_embs.astype(self.compute_dtype)
+            if q_pad:
+                queries = jnp.concatenate(
+                    [queries, jnp.zeros((q_pad, queries.shape[1]), queries.dtype)]
+                )
+        else:
+            queries_np = np.asarray(query_embs)
+            if self.use_pallas:  # pallas grid needs whole query tiles
+                queries_np = _pad_rows(queries_np, 128)
+            queries = jnp.asarray(queries_np, self.compute_dtype)
         row_multiple = 2048 if self.use_pallas else self.passage_chunk
 
         def to_device(item):
             emb, ids = item
             n_valid = emb.shape[0]
-            emb_padded = _pad_rows(np.asarray(emb), row_multiple)
-            ids = np.asarray(ids)
-            assert ids.size == 0 or int(ids.max()) < 2**31, "ids exceed int32"
+            if isinstance(emb, jax.Array) and n_valid % row_multiple == 0:
+                # device-resident block (e.g. freshly encoded, HBM-cached):
+                # no host round-trip
+                emb_dev = emb.astype(self.compute_dtype)
+            else:
+                emb_dev = jnp.asarray(
+                    _pad_rows(np.asarray(emb), row_multiple), self.compute_dtype
+                )
+            if isinstance(ids, jax.Array):
+                ids_dev = ids.astype(jnp.int32)
+            else:
+                ids = np.asarray(ids)
+                assert ids.size == 0 or int(ids.max()) < 2**31, "ids exceed int32"
+                ids_dev = jnp.asarray(ids.astype(np.int32))
             # async dispatch: the next block's H2D overlaps the current search
-            return (
-                jnp.asarray(emb_padded, self.compute_dtype),
-                jnp.asarray(ids.astype(np.int32)),
-                n_valid,
-            )
+            return (emb_dev, ids_dev, n_valid)
 
         it = iter(blocks)
         nxt = next(it, None)
@@ -240,23 +301,10 @@ class BlockSearcher:
             nxt = next(it, None)
             staged = to_device(nxt) if nxt is not None else None
 
-            block_s_parts, block_i_parts = [], []
-            qn = queries.shape[0]
-            for qs in range(0, qn, self.query_chunk):
-                qe = min(qn, qs + self.query_chunk)
-                s, i = self._block_topk(queries[qs:qe], passages, n_valid)
-                block_s_parts.append(s)
-                block_i_parts.append(i)
-            block_s = jnp.concatenate(block_s_parts, axis=0)[:Q]
-            block_i = jnp.concatenate(block_i_parts, axis=0)[:Q]
-            # local index -> global embedding id (":110")
-            block_ids = ids_arr[jnp.clip(block_i, 0, n_valid - 1)]
-            block_ids = jnp.where(block_i >= 0, block_ids, -1)
-            best_s, pos = jax.lax.top_k(
-                jnp.concatenate([best_s, block_s], axis=1), k
-            )
-            best_ids = jnp.take_along_axis(
-                jnp.concatenate([best_ids, block_ids], axis=1), pos, axis=1
+            best_s, best_ids = self._search_block(
+                best_s, best_ids, queries, passages, ids_arr, jnp.int32(n_valid)
             )
 
+        if return_device:
+            return best_s, best_ids
         return np.asarray(best_s), np.asarray(best_ids)

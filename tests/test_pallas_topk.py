@@ -66,9 +66,10 @@ def test_block_searcher_pallas_flag_matches_xla(rng):
 
     pal = BlockSearcher(top_k=k, passage_chunk=128, use_pallas=True, query_chunk=128)
 
-    def fake_block(qq, pp, nv):
+    def fake_block(qq, pp, nv, init_scores=None):
         return pallas_topk_block(
-            qq, pp, jnp.int32(nv), k, q_tile=128, p_tile=256, interpret=True
+            qq, pp, jnp.int32(nv), k, q_tile=128, p_tile=256,
+            init_scores=init_scores, interpret=True,
         )
 
     pal._block_topk = fake_block
@@ -123,6 +124,34 @@ def test_encoder_flash_flag_matches_exact(rng):
     assert not fused_attention_supported(8, 8)
     assert fused_attention_supported(384, 64)
     assert fused_attention_supported(512, 64)
+
+
+def test_block_searcher_seeded_multiblock_exact(rng):
+    """Cross-block threshold seeding: a 3-block seeded search must equal
+    the oracle over the concatenated corpus (seed survivors dropped at
+    merge and re-supplied by the running best)."""
+    Q, D, k = 32, 16, 11
+    q = rng.randn(Q, D).astype(np.float32)
+    sizes = [300, 256, 128]
+    blocks_np = [rng.randn(n, D).astype(np.float32) for n in sizes]
+    ids, base = [], 0
+    for n in sizes:
+        ids.append(np.arange(base, base + n, dtype=np.int64))
+        base += n
+    pal = BlockSearcher(top_k=k, query_chunk=128, use_pallas=True)
+
+    def fake_block(qq, pp, nv, init_scores=None):
+        return pallas_topk_block(
+            qq, pp, jnp.int32(nv), k, q_tile=32, p_tile=128,
+            init_scores=init_scores, interpret=True,
+        )
+
+    pal._block_topk = fake_block
+    s, i = pal.search(q, list(zip(blocks_np, ids)))
+    all_p = np.concatenate(blocks_np)
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(all_p), k)
+    np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(i, np.asarray(ri))
 
 
 def test_pallas_v2_stream_matches_oracle(rng):
