@@ -94,11 +94,12 @@ class ModelConfig:
     attention_probs_dropout_prob: float = 0.1
     # compute dtype for matmuls on TPU; params stay f32
     dtype: str = "float32"
-    # fused Pallas flash attention (TPU): avoids materializing the
-    # [B, H, L, L] score tensor — the memory-bound part of 384/512-token
-    # encoding.  Falls back to exact XLA attention off-TPU or when
-    # attention-probs dropout is active.
-    use_flash_attention: bool = False
+    # fused Pallas flash attention (TPU): the [B, L, 3H] fused-QKV kernel
+    # avoids materializing the [B, H, L, L] score tensor AND the
+    # head-split transposes (together the majority of 384/512-token encode
+    # time).  Default ON: it gates itself off-TPU, under attention-probs
+    # dropout, and at unsupported shapes (exact XLA attention fallback).
+    use_flash_attention: bool = True
     # rematerialize each transformer layer in the backward pass
     # (jax.checkpoint): trades ~30% recompute for dropping the O(B H L^2)
     # saved attention probs — required to fit batch-64 x 512-token training

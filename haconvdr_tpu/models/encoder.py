@@ -91,13 +91,19 @@ def init_encoder_params(key: jax.Array, cfg: ModelConfig) -> EncoderParams:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _layer_norm(x: jax.Array, p: Dict[str, jax.Array], eps: float) -> jax.Array:
-    # normalize in >= float32 (float64 params promote for parity testing)
+def _layer_norm(
+    x: jax.Array, p: Dict[str, jax.Array], eps: float, out_dtype=None
+) -> jax.Array:
+    # normalize in >= float32 (float64 params promote for parity testing);
+    # ``out_dtype`` casts the result back to the compute dtype so bf16
+    # activations stay bf16 end-to-end (mixed-precision policy: params and
+    # LN/softmax internals in f32, carry in the compute dtype)
     x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * p["scale"] + p["bias"]
+    y = y * p["scale"] + p["bias"]
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def _acc_dtype(dtype):
@@ -105,11 +111,21 @@ def _acc_dtype(dtype):
     return jnp.promote_types(dtype, jnp.float32)
 
 
-def _dense(x: jax.Array, p: Dict[str, jax.Array], dtype) -> jax.Array:
+def _dense(x: jax.Array, p: Dict[str, jax.Array], dtype, out_dtype=None) -> jax.Array:
     y = jnp.dot(
         x.astype(dtype), p["kernel"].astype(dtype), preferred_element_type=_acc_dtype(dtype)
     )
-    return y + p["bias"]
+    y = y + p["bias"]
+    return y if out_dtype is None else y.astype(out_dtype)
+
+
+def _gelu(x: jax.Array, dtype) -> jax.Array:
+    """HF 'gelu' is the exact erf form.  Under bfloat16 compute the tanh
+    approximation's error (<~3e-3 absolute) is below bf16 rounding of the
+    surrounding activations, and the erf polynomial is ~17% of the whole
+    encoder's wall-clock — so bf16 uses tanh, f32/f64 keep erf for golden
+    parity (tests/test_encoder.py)."""
+    return jax.nn.gelu(x, approximate=jnp.dtype(dtype) == jnp.bfloat16)
 
 
 def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
@@ -136,12 +152,17 @@ def _attention(
     B, L, H = x.shape
     d = H // num_heads
 
-    def split_heads(t):
-        return t.reshape(B, L, num_heads, d).transpose(0, 2, 1, 3)
-
-    q = split_heads(_dense(x, p["query"], dtype))
-    k = split_heads(_dense(x, p["key"], dtype))
-    v = split_heads(_dense(x, p["value"], dtype))
+    # fused QKV: one [H, 3H] matmul instead of three (the concat of the
+    # stacked param slices is trivial next to the projection itself)
+    qkv_p = {
+        "kernel": jnp.concatenate(
+            [p["query"]["kernel"], p["key"]["kernel"], p["value"]["kernel"]], axis=-1
+        ),
+        "bias": jnp.concatenate(
+            [p["query"]["bias"], p["key"]["bias"], p["value"]["bias"]]
+        ),
+    }
+    qkv = _dense(x, qkv_p, dtype, out_dtype=dtype)
 
     from haconvdr_tpu.ops.fused_attention import fused_attention_supported
 
@@ -152,23 +173,30 @@ def _attention(
         and fused_attention_supported(L, d)
     ):
         # fused short-sequence attention kernel (ops/fused_attention.py):
+        # the [B, L, 3H] projection feeds the kernel directly — no
+        # head-split transposes or q/k/v slicing at the HBM level;
         # QK^T -> bias -> softmax -> PV entirely in VMEM per batch row
-        from haconvdr_tpu.ops.fused_attention import fused_attention
+        from haconvdr_tpu.ops.fused_attention import fused_attention_qkv
 
-        ctx = fused_attention(
-            q.astype(dtype), k.astype(dtype), v.astype(dtype), attention_mask
-        ).astype(jnp.float32)
-    else:
-        acc = _acc_dtype(dtype)
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype), preferred_element_type=acc
-        ) / math.sqrt(d)
-        scores = scores + mask_bias  # [B, 1, 1, L] additive
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = _dropout(probs, attn_drop, rng)  # HF attention-probs dropout
-        ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs.astype(dtype), v.astype(dtype), preferred_element_type=acc
-        )
+        ctx = fused_attention_qkv(qkv, attention_mask, num_heads)
+        return _dense(ctx, p["output"], dtype)
+
+    def split_heads(t):
+        return t.reshape(B, L, num_heads, d).transpose(0, 2, 1, 3)
+
+    q = split_heads(qkv[..., :H])
+    k = split_heads(qkv[..., H : 2 * H])
+    v = split_heads(qkv[..., 2 * H :])
+    acc = _acc_dtype(dtype)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype), preferred_element_type=acc
+    ) / math.sqrt(d)
+    scores = scores + mask_bias  # [B, 1, 1, L] additive
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = _dropout(probs, attn_drop, rng)  # HF attention-probs dropout
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(dtype), v.astype(dtype), preferred_element_type=acc
+    )
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
     return _dense(ctx, p["output"], dtype)
 
@@ -206,12 +234,16 @@ def encoder_hidden_states(
     else:
         position_ids = roberta_position_ids(input_ids, cfg.pad_token_id)
 
+    # the residual carry stays in the compute dtype (bf16 end-to-end when
+    # dtype=bf16); LN internals run f32 regardless
+    carry_dtype = jnp.promote_types(dtype, jnp.bfloat16)
+
     x = (
         emb["word_embeddings"][input_ids]
         + emb["position_embeddings"][position_ids]
         + emb["token_type_embeddings"][jnp.zeros_like(input_ids)]
     )
-    x = _layer_norm(x, emb["layer_norm"], cfg.layer_norm_eps)
+    x = _layer_norm(x, emb["layer_norm"], cfg.layer_norm_eps, out_dtype=carry_dtype)
     x = _dropout(x, hd, emb_key)
 
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
@@ -223,10 +255,17 @@ def encoder_hidden_states(
             use_flash=cfg.use_flash_attention, attention_mask=attention_mask,
         )
         attn_out = _dropout(attn_out, hd, rng_b)
-        x = _layer_norm(x + attn_out, layer["attention"]["output_layer_norm"], cfg.layer_norm_eps)
-        inter = jax.nn.gelu(_dense(x, layer["intermediate"], dtype), approximate=False)
+        x = _layer_norm(
+            x + attn_out.astype(x.dtype),
+            layer["attention"]["output_layer_norm"], cfg.layer_norm_eps,
+            out_dtype=carry_dtype,
+        )
+        inter = _gelu(_dense(x, layer["intermediate"], dtype, out_dtype=dtype), dtype)
         out = _dropout(_dense(inter, layer["output"], dtype), hd, rng_c)
-        return _layer_norm(x + out, layer["output_layer_norm"], cfg.layer_norm_eps)
+        return _layer_norm(
+            x + out.astype(x.dtype), layer["output_layer_norm"], cfg.layer_norm_eps,
+            out_dtype=carry_dtype,
+        )
 
     if cfg.remat:
         layer_fn = jax.checkpoint(layer_fn)

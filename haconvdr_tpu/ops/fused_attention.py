@@ -5,11 +5,17 @@ src/train_HAConvDR_topiocqa.py:222), where XLA's unfused attention spends
 most of its time writing/reading the [B, H, L, L] score tensor (measured
 ~20 ms per roberta-base layer at B=512, L=384 on v5e — 5x the matmul
 cost).  The stock long-context flash kernel is slower here (its grid
-machinery amortizes only at long L).  This kernel computes one (batch,
-head) cell entirely in VMEM: QK^T -> additive padding bias -> softmax ->
-PV, no HBM score traffic.  Exactly the same math as the XLA path in f32
-accumulation; no dropout (callers fall back to XLA attention when
-attention-probs dropout is active).
+machinery amortizes only at long L).
+
+This kernel takes the FUSED QKV projection output in its natural
+``[B, L, 3*H]`` layout — no head-split transposes and no q/k/v slicing at
+the XLA level (each of those is a full HBM rewrite of the activations;
+together they cost ~60 ms per 12-layer pass at B=512, L=384) — and
+computes one batch row per grid cell entirely in VMEM: per head,
+QK^T -> additive padding bias -> softmax -> PV, writing back the
+``[B, L, H]`` context ready for the output projection.  Exactly the same
+math as the XLA path in f32 accumulation; no dropout (callers fall back
+to XLA attention when attention-probs dropout is active).
 """
 
 from __future__ import annotations
@@ -21,15 +27,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    # one batch row per grid cell, all heads unrolled in-kernel (per-cell
+def _attn_kernel(qkv_ref, bias_ref, o_ref, *, num_heads: int, scale: float):
+    # one batch row per grid cell, heads unrolled in-kernel (per-cell
     # grid overhead would otherwise dominate at ~6k tiny cells)
-    H = q_ref.shape[1]
+    H3 = qkv_ref.shape[2]
+    H = H3 // 3
+    d = H // num_heads
     bias = bias_ref[0]  # [1, L], broadcast over score rows
-    for h in range(H):
-        q = q_ref[0, h]  # [L, d]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
+    qkv = qkv_ref[0]  # [L, 3H]
+    for h in range(num_heads):
+        q = qkv[:, h * d : (h + 1) * d]  # [L, d]
+        k = qkv[:, H + h * d : H + (h + 1) * d]
+        v = qkv[:, 2 * H + h * d : 2 * H + (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [L, L]
@@ -39,10 +48,36 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[0, h] = o.astype(o_ref.dtype)
+        o_ref[0, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_attention_qkv(
+    qkv: jax.Array,  # [B, L, 3H] — fused projection output, head-interleaved
+    attention_mask: jax.Array,  # [B, L] 1=real 0=pad
+    num_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns the attention context in [B, L, H] layout."""
+    B, L, H3 = qkv.shape
+    H = H3 // 3
+    scale = 1.0 / math.sqrt(H // num_heads)
+    # [B, 1, L]: the singleton middle dim satisfies the TPU block-shape rule
+    bias = ((1.0 - attention_mask.astype(jnp.float32)) * -1e9)[:, None, :]
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, num_heads=num_heads, scale=scale),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, H3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, L, H), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, H), qkv.dtype),
+        interpret=interpret,
+    )(qkv, bias)
+
+
 def fused_attention(
     q: jax.Array,  # [B, H, L, d]
     k: jax.Array,
@@ -50,27 +85,23 @@ def fused_attention(
     attention_mask: jax.Array,  # [B, L] 1=real 0=pad
     interpret: bool = False,
 ) -> jax.Array:
+    """Head-split-layout wrapper kept for tests/back-compat; the encoder's
+    hot path uses :func:`fused_attention_qkv` (no transposes)."""
     B, H, L, d = q.shape
-    scale = 1.0 / math.sqrt(d)
-    # [B, 1, L]: the singleton middle dim satisfies the TPU block-shape rule
-    bias = ((1.0 - attention_mask.astype(jnp.float32)) * -1e9)[:, None, :]
 
-    return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, L, d), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, L, d), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, L, d), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, H, L, d), lambda b: (b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, L, d), q.dtype),
-        interpret=interpret,
-    )(q, k, v, bias)
+    def merge(t):  # [B, H, L, d] -> [B, L, H*d]
+        return t.transpose(0, 2, 1, 3).reshape(B, L, H * d)
+
+    qkv = jnp.concatenate([merge(q), merge(k), merge(v)], axis=-1)
+    ctx = fused_attention_qkv(qkv, attention_mask, H, interpret=interpret)
+    return ctx.reshape(B, L, H, d).transpose(0, 2, 1, 3)
 
 
 def fused_attention_supported(L: int, d: int) -> bool:
-    """VMEM sanity: score tile [L, L] f32 + operands must fit comfortably."""
+    """TPU-only; VMEM sanity: score tile [L, L] f32 + operands must fit
+    comfortably.  Callers fall back to exact XLA attention when False, so
+    ``use_flash_attention`` can default on."""
+    if jax.devices()[0].platform != "tpu":
+        return False
     vmem_bytes = L * L * 4 + 3 * L * d * 4 + L * d * 4
     return L % 128 == 0 and d % 64 == 0 and vmem_bytes < 8 * 1024 * 1024

@@ -118,12 +118,17 @@ def test_encoder_flash_flag_matches_exact(rng):
     ids = jnp.asarray(rng.randint(4, cfg.vocab_size, (2, 8)), jnp.int32)
     mask = jnp.ones((2, 8), jnp.int32)
     # L=8 unsupported by the kernel -> exercised only on TPU shapes; here we
-    # just assert the support predicate gates correctly
+    # just assert the support predicate gates correctly (platform gate:
+    # always False on the CPU test mesh so use_flash can default on)
     from haconvdr_tpu.ops.fused_attention import fused_attention_supported
 
     assert not fused_attention_supported(8, 8)
-    assert fused_attention_supported(384, 64)
-    assert fused_attention_supported(512, 64)
+    assert not fused_attention_supported(384, 64)  # CPU mesh
+    import jax as _jax
+
+    if _jax.devices()[0].platform == "tpu":  # pragma: no cover
+        assert fused_attention_supported(384, 64)
+        assert fused_attention_supported(512, 64)
 
 
 def test_block_searcher_seeded_multiblock_exact(rng):
