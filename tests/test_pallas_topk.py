@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
-from haconvdr_tpu.ops.topk import BlockSearcher, exact_topk_oracle
+from haconvdr_tpu.ops.topk import BlockSearcher, exact_topk_oracle, topk_block
 
 
 def _run(q, p, n_valid, k, **kw):
@@ -172,3 +172,95 @@ def test_pallas_v2_stream_matches_oracle(rng):
     rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p[:900]), k)
     np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_bf16_quantized_tie_pid_sets(rng):
+    """Deliberate score collisions (VERDICT r1 item 9): bf16-quantized
+    embeddings duplicated across pids make exact ties that span passage
+    tiles and blocks.  All three implementations (pallas kernel, XLA scan
+    path, full-matrix oracle) must return identical score vectors, and
+    every returned pid must belong to the tie class of its score — the
+    *membership* contract ties can't break.  Order *within* a tie class is
+    implementation-defined (kernel: extraction order; XLA/oracle: stable
+    lowest-index-first), so pid sets are compared per tie class, not
+    positionally."""
+    Q, D, k = 32, 16, 10
+    n_base, n_rep = 24, 16  # 24 tie classes x 16 pids each
+    base = rng.randn(n_base, D).astype(np.float32)
+    # quantize to bf16-representable values; compute stays f32 so equal
+    # rows produce bit-equal scores
+    base = np.asarray(jnp.asarray(base, jnp.bfloat16).astype(jnp.float32))
+    p = np.repeat(base, n_rep, axis=0)
+    perm = rng.permutation(p.shape[0])  # spread tie classes across tiles
+    p = np.ascontiguousarray(p[perm])
+    q = rng.randn(Q, D).astype(np.float32)
+    q = np.asarray(jnp.asarray(q, jnp.bfloat16).astype(jnp.float32))
+    N = p.shape[0]
+    full = q @ p.T  # ground-truth score matrix
+
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p), k)
+    xs, xi = topk_block(jnp.asarray(q), jnp.asarray(p), jnp.int32(N), k, chunk=128)
+    ks_, ki = _run(q, p, N, k, q_tile=32, p_tile=128)
+
+    rs, xs, ks_ = np.asarray(rs), np.asarray(xs), np.asarray(ks_)
+    ri, xi, ki = np.asarray(ri), np.asarray(xi), np.asarray(ki)
+    # ties are exact, so the three score vectors must be bit-identical
+    np.testing.assert_array_equal(xs, rs)
+    np.testing.assert_array_equal(ks_, rs)
+    # XLA scan path is stable top_k over ascending indices == oracle order
+    np.testing.assert_array_equal(xi, ri)
+    for r in range(Q):
+        for impl_i in (ri, xi, ki):
+            # membership: every returned pid's true score equals the
+            # returned score at its rank
+            np.testing.assert_array_equal(full[r, impl_i[r]], rs[r])
+        # per tie class, the kernel may order members differently but must
+        # return the same *number* of members as the oracle (exactness at
+        # the truncation boundary)
+        for v in np.unique(rs[r]):
+            cls = set(np.flatnonzero(full[r] == v))
+            kern = [i for i in ki[r] if full[r, i] == v]
+            orac = [i for i in ri[r] if full[r, i] == v]
+            assert len(kern) == len(orac)
+            assert set(kern) <= cls and len(set(kern)) == len(kern)
+
+
+def test_cross_block_tie_earlier_block_wins(rng):
+    """A tie class split across two blocks with k smaller than the class:
+    the reference's 2-pointer merge keeps the earlier block's entries
+    (src/test_HAConvDR_topiocqa.py:137); BlockSearcher must do the same on
+    the XLA path.  The pallas seeded path drops seed survivors to id -1
+    and re-ranks through the same stable merge, so it must agree on the
+    pid set too."""
+    D, k = 8, 4
+    row = rng.randn(D).astype(np.float32)
+    # 6 identical rows per block -> 12-way tie, only 4 slots
+    blk = np.tile(row, (6, 1))
+    filler_a = rng.randn(122, D).astype(np.float32) * 0.01
+    filler_b = rng.randn(122, D).astype(np.float32) * 0.01
+    pa = np.concatenate([blk, filler_a])
+    pb = np.concatenate([blk, filler_b])
+    ids_a = np.arange(128, dtype=np.int64)
+    ids_b = np.arange(128, 256, dtype=np.int64)
+    q = row[None, :].copy()
+
+    xla = BlockSearcher(top_k=k, passage_chunk=128, use_pallas=False)
+    s1, i1 = xla.search(q, [(pa, ids_a), (pb, ids_b)])
+    # all four winners come from block A (ids 0..5), lowest-index-first
+    np.testing.assert_array_equal(i1[0], [0, 1, 2, 3])
+
+    pal = BlockSearcher(top_k=k, query_chunk=128, use_pallas=True)
+
+    def fake_block(qq, pp, nv, init_scores=None):
+        return pallas_topk_block(
+            qq, pp, jnp.int32(nv), k, q_tile=128, p_tile=128,
+            init_scores=init_scores, interpret=True,
+        )
+
+    pal._block_topk = fake_block
+    s2, i2 = pal.search(q, [(pa, ids_a), (pb, ids_b)])
+    np.testing.assert_array_equal(s1, s2)
+    # kernel extraction order within block A may differ, but the winner
+    # set must still be block-A members of the tie class
+    assert set(i2[0]) <= set(range(6))
+    assert len(set(i2[0])) == k
