@@ -16,8 +16,9 @@ BASELINE_QPS = 2000; the ">=5x faiss-gpu per chip" target from
 BASELINE.json means vs_baseline >= 5.
 
 Measured on TPU v5e-1 (this kernel, exact, f32 index like the reference):
-~21.3k QPS (10.6x); bfloat16 index (BENCH_BF16=1): ~21.5k QPS (10.7x).
-(Round 1: 17.3k / 17.6k with the 2-D-grid kernel.)
+~21.6k QPS (10.8x); bfloat16 index (BENCH_BF16=1): ~21.7k QPS; int8
+scalar-quantized index (BENCH_INT8=1, index/quantize.py): ~21.7k QPS at
+4x less HBM than f32.  (Round 1: 17.3k / 17.6k with the 2-D-grid kernel.)
 
 Outputs ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -117,7 +118,14 @@ def main():
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") else jnp.float32
+    if os.environ.get("BENCH_INT8"):
+        dtype = jnp.int8  # quantized index (index/quantize.py): 4x less
+        # HBM than f32; queries carry the folded scales, so random bf16
+        # queries stand in for them here
+    elif os.environ.get("BENCH_BF16"):
+        dtype = jnp.bfloat16
+    else:
+        dtype = jnp.float32
 
     if on_tpu:
         n_valid, p_tile = N_PASSAGES, 2048
@@ -138,8 +146,12 @@ def main():
             return topk_block(q, p, nv, TOP_K, chunk)
 
     kq, kp = jax.random.split(jax.random.PRNGKey(0))
-    passages = jax.random.normal(kp, (n_pad, DIM), dtype)
-    queries = jax.random.normal(kq, (N_QUERIES, DIM), dtype)
+    if dtype == jnp.int8:
+        passages = jax.random.randint(kp, (n_pad, DIM), -127, 128, jnp.int8)
+        queries = jax.random.normal(kq, (N_QUERIES, DIM), jnp.bfloat16)
+    else:
+        passages = jax.random.normal(kp, (n_pad, DIM), dtype)
+        queries = jax.random.normal(kq, (N_QUERIES, DIM), dtype)
     nv = jnp.int32(n_valid)
 
     def run_once():

@@ -201,6 +201,18 @@ class EmbeddingBlockStore:
             n += 1
         return n
 
+    def block_size(self, block_id: int) -> int:
+        """Row count of one block WITHOUT loading its embeddings: npy
+        blocks read only the .npy header; reference-pickle blocks unpickle
+        the embid array (~8 B/row) instead of the [N, 768] float matrix
+        (~3 KB/row).  Lets ShardedIndex.from_store size its shards without
+        streaming the corpus twice."""
+        e, i = self._paths(block_id)
+        if self.fmt == "npy":
+            return int(np.load(e, mmap_mode="r").shape[0])
+        with open(i, "rb") as f:
+            return len(pickle.load(f))
+
     def read_block(self, block_id: int) -> Tuple[np.ndarray, np.ndarray]:
         e, i = self._paths(block_id)
         if self.fmt == "npy":

@@ -105,11 +105,18 @@ def _topk_kernel(
         rm = jnp.min(out_s_ref[r0 : r0 + qt, :], axis=1)
         return masked, rm
 
+    # int8 index tiles upcast once per grid step (halved HBM stream; the
+    # per-dim dequant scales are pre-folded into the queries, see
+    # index/quantize.py)
+    pmat = p_ref[...]
+    if pmat.dtype == jnp.int8:
+        pmat = pmat.astype(jnp.bfloat16)
+
     for t in range(QP // qt):
         r0 = t * qt
         s = jax.lax.dot_general(
             q_ref[r0 : r0 + qt, :],
-            p_ref[...],
+            pmat,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [qt, PT]
@@ -172,13 +179,16 @@ def pallas_topk_block(
     Q, D = queries.shape
     N, D2 = passages.shape
     assert D == D2
-    if passages.dtype == jnp.bfloat16 and queries.dtype != jnp.bfloat16:
+    if (
+        passages.dtype in (jnp.bfloat16, jnp.int8)
+        and queries.dtype != jnp.bfloat16
+    ):
         queries = queries.astype(jnp.bfloat16)
     if p_tile == 0:
         p_tile = 1024
     assert N % p_tile == 0, "pad passages to a multiple of p_tile"
     if q_panel == 0:
-        q_panel = 2048 if passages.dtype == jnp.bfloat16 else 1024
+        q_panel = 1024 if passages.dtype == jnp.float32 else 2048
     if seg_width == 0:
         seg_width = 128  # measured optimum: wider segments pay cross-tile
         # reduction relayouts in Mosaic that outweigh the per-segment

@@ -110,7 +110,12 @@ def topk_block(
     num_chunks = N // chunk
     tiles = passages.reshape(num_chunks, chunk, D)
     dtype = passages.dtype
-    q = queries.astype(dtype)
+    if dtype == jnp.int8:
+        # int8 index (index/quantize.py): per-dim scales are pre-folded
+        # into the queries by the caller; tiles upcast to bf16 at the MXU
+        q = queries.astype(jnp.bfloat16)
+    else:
+        q = queries.astype(dtype)
 
     init = (
         jnp.full((Q, k), NEG_INF, jnp.float32),
@@ -120,6 +125,8 @@ def topk_block(
     def step(carry, inp):
         tile, c_idx = inp
         best_s, best_i = carry
+        if tile.dtype == jnp.int8:
+            tile = tile.astype(q.dtype)
         scores = jax.lax.dot_general(
             q,
             tile,

@@ -37,17 +37,24 @@ def sharded_topk(
     k: int,
     chunk: int,
     use_pallas: bool = False,
+    scales: Optional[jax.Array] = None,  # [n_shards, D] per-shard dequant
 ) -> Tuple[jax.Array, jax.Array]:
-    """Replicated ([Q, k] scores, [Q, k] global offsets) over all shards."""
+    """Replicated ([Q, k] scores, [Q, k] global offsets) over all shards.
+
+    ``scales`` (int8 indexes, index/quantize.py): each shard folds its own
+    per-dim dequantization scale into the replicated queries before
+    scoring, making the int8 search exact w.r.t. the dequantized rows."""
     fmesh = _flat_mesh(mesh)
     n_shards = fmesh.devices.size
     Ntot = passages.shape[0]
     assert Ntot % n_shards == 0, "pad the passage axis to the shard count"
     shard_rows = Ntot // n_shards
 
-    def local_search(q, p_shard):
+    def local_search(q, p_shard, *rest):
         shard_id = jax.lax.axis_index("d")
         base = shard_id * shard_rows
+        if rest:  # fold this shard's dequant scale into the queries
+            q = q.astype(jnp.float32) * rest[0][shard_id]
         # valid rows in this shard given global n_valid
         local_valid = jnp.clip(n_valid - base, 0, shard_rows)
         if use_pallas:
@@ -66,14 +73,16 @@ def sharded_topk(
         best_i = jnp.take_along_axis(ig, pos, axis=1)
         return best_s, best_i
 
+    in_specs = (P(), P("d", None)) + ((P(),) if scales is not None else ())
+    args = (queries, passages) + ((scales,) if scales is not None else ())
     fn = jax.shard_map(
         local_search,
         mesh=fmesh,
-        in_specs=(P(), P("d", None)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, passages)
+    return fn(*args)
 
 
 class ShardedIndex:
@@ -84,7 +93,9 @@ class ShardedIndex:
     placed shard-by-shard across the mesh once, then searched many times.
     For corpora larger than total HBM, callers hold several ShardedIndex
     blocks and merge results via ops.topk.merge_topk (the BlockSearcher
-    pattern), or use a bfloat16 ``store_dtype``.
+    pattern), or shrink the resident bytes with ``dtype="bfloat16"`` (2x)
+    or ``dtype="int8"`` (4x; per-shard scalar quantization, exact w.r.t.
+    the dequantized rows — index/quantize.py).
     """
 
     def __init__(
@@ -109,6 +120,18 @@ class ShardedIndex:
             embeddings = np.concatenate([embeddings, pad], axis=0)
         self.chunk = chunk
         sharding = NamedSharding(fmesh, P("d", None))
+        if jnp.dtype(dtype) == jnp.int8:
+            from haconvdr_tpu.index.quantize import quantize_int8
+
+            parts, scales = [], []
+            for s in range(n_shards):
+                qb, sc = quantize_int8(embeddings[s * shard_rows : (s + 1) * shard_rows])
+                parts.append(qb)
+                scales.append(sc)
+            embeddings = np.concatenate(parts, axis=0)
+            self.scales = jnp.asarray(np.stack(scales))  # [n_shards, D] f32
+        else:
+            self.scales = None
         self.passages = jax.device_put(
             jnp.asarray(embeddings, jnp.dtype(dtype)), sharding
         )
@@ -127,6 +150,8 @@ class ShardedIndex:
                     chunk=self.chunk, use_pallas=self.use_pallas, k=k,
                 )
             )
+        if self.scales is not None:
+            return self._jits[k](queries, passages, scales=self.scales)
         return self._jits[k](queries, passages)
 
     @classmethod
@@ -146,19 +171,20 @@ class ShardedIndex:
         shard clone, src/test_HAConvDR_topiocqa.py:54-67).
 
         Memory plan: a 54M x 768 corpus is 167 GB in f32 — beyond a v5e-8's
-        HBM — but 84 GB in bfloat16, which fits; pass dtype="bfloat16"
+        HBM — but 84 GB in bfloat16, which fits, and 42 GB as an int8
+        index (dtype="int8", index/quantize.py: per-shard per-dim scales,
+        exact search over the dequantized rows), which fits a v5e-4
         (SURVEY.md SS7 hard part (b)).  f32 corpora that exceed HBM should
         use the streaming BlockSearcher instead.
+
+        Sizing uses ``store.block_size`` (npy header / embid pickle), so
+        each block's embedding matrix is streamed from disk exactly once.
         """
         import jax as _jax
 
-        sizes = []
         nb = store.num_blocks() if num_blocks < 0 else num_blocks
-        for b in range(nb):
-            emb, _ = store.read_block(b)
-            sizes.append(emb.shape[0])
+        sizes = [store.block_size(b) for b in range(nb)]
         n_valid = int(sum(sizes))
-        dim = store.read_block(0)[0].shape[1]
 
         fmesh = _flat_mesh(mesh)
         devices = list(fmesh.devices.reshape(-1))
@@ -168,14 +194,32 @@ class ShardedIndex:
         rows = shard_rows * n_shards
 
         jdt = jnp.dtype(dtype)
+        is_int8 = jdt == jnp.int8
+        buf_dt = np.float32 if is_int8 else jdt
+        if is_int8:
+            from haconvdr_tpu.index.quantize import quantize_int8
+
+        scales = []
+
+        def place(buf, dev):
+            if is_int8:
+                qb, sc = quantize_int8(buf)
+                scales.append(sc)
+                return _jax.device_put(qb, dev)
+            return _jax.device_put(buf, dev)
+
         ids_all = np.empty((n_valid,), np.int64)
         shard_arrays = []
-        shard_buf = np.zeros((shard_rows, dim), jdt)
+        shard_buf = None  # allocated at first block (dim known then)
         shard_fill = 0
         shard_id = 0
         row = 0
+        dim = None
         for b in range(nb):
             emb, ids = store.read_block(b)
+            if shard_buf is None:
+                dim = emb.shape[1]
+                shard_buf = np.zeros((shard_rows, dim), buf_dt)
             ids_all[row : row + emb.shape[0]] = ids
             row += emb.shape[0]
             off = 0
@@ -185,20 +229,18 @@ class ShardedIndex:
                 shard_fill += take
                 off += take
                 if shard_fill == shard_rows:
-                    shard_arrays.append(
-                        _jax.device_put(shard_buf, devices[shard_id])
-                    )
+                    shard_arrays.append(place(shard_buf, devices[shard_id]))
                     shard_id += 1
                     shard_fill = 0
                     if shard_id < n_shards:
-                        shard_buf = np.zeros((shard_rows, dim), jdt)
+                        shard_buf = np.zeros((shard_rows, dim), buf_dt)
         if shard_fill > 0 or shard_id < n_shards:
             shard_buf[shard_fill:] = 0
-            shard_arrays.append(_jax.device_put(shard_buf, devices[shard_id]))
+            shard_arrays.append(place(shard_buf, devices[shard_id]))
             shard_id += 1
             while shard_id < n_shards:
                 shard_arrays.append(
-                    _jax.device_put(np.zeros((shard_rows, dim), jdt), devices[shard_id])
+                    place(np.zeros((shard_rows, dim), buf_dt), devices[shard_id])
                 )
                 shard_id += 1
 
@@ -211,6 +253,7 @@ class ShardedIndex:
         obj.n_valid = n_valid
         obj.chunk = chunk
         obj.passages = global_arr
+        obj.scales = jnp.asarray(np.stack(scales)) if is_int8 else None
         obj.ids = ids_all
         obj.use_pallas = (
             _jax.devices()[0].platform == "tpu" and shard_rows % 2048 == 0
@@ -228,7 +271,10 @@ class ShardedIndex:
             queries = np.concatenate(
                 [queries, np.zeros((pad,) + queries.shape[1:], queries.dtype)]
             )
-        q = jnp.asarray(queries, self.passages.dtype)
+        # int8 index: queries stay float (per-shard dequant scales fold in
+        # under the shard_map; the kernels upcast int8 tiles to bf16)
+        q_dtype = jnp.float32 if self.scales is not None else self.passages.dtype
+        q = jnp.asarray(queries, q_dtype)
         s, i = self._search(q, self.passages, k)
         s, i = np.asarray(s)[:Q], np.asarray(i)[:Q]
         if self.ids is not None:

@@ -264,3 +264,22 @@ def test_cross_block_tie_earlier_block_wins(rng):
     # set must still be block-A members of the tie class
     assert set(i2[0]) <= set(range(6))
     assert len(set(i2[0])) == k
+
+
+def test_pallas_int8_matches_dequantized_oracle(rng):
+    """int8 index tiles (index/quantize.py): the kernel upcasts to bf16 in
+    VMEM; with the per-dim scale pre-folded into the queries the result is
+    exact w.r.t. the dequantized rows."""
+    from haconvdr_tpu.index.quantize import quantize_int8
+
+    Q, N, D, k = 64, 1024, 32, 10
+    emb = rng.randn(N, D).astype(np.float32)
+    queries = rng.randn(Q, D).astype(np.float32)
+    int8_rows, scale = quantize_int8(emb)
+    q_folded = (queries * scale[None, :]).astype(np.float32)
+    s, i = _run(q_folded, int8_rows, N, k, q_tile=64, p_tile=256)
+    qf = jnp.asarray(q_folded, jnp.bfloat16).astype(jnp.float32)
+    full = jnp.dot(qf, jnp.asarray(int8_rows, jnp.float32).T)
+    rs, ri = jax.lax.top_k(full, k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
