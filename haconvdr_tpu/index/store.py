@@ -171,11 +171,26 @@ class EmbeddingBlockStore:
         self.fmt = fmt
 
     # -- writing ----------------------------------------------------------
-    def write_block(self, block_id: int, emb: np.ndarray, ids: np.ndarray) -> None:
+    def write_block(
+        self,
+        block_id: int,
+        emb: np.ndarray,
+        ids: np.ndarray,
+        scale: Optional[np.ndarray] = None,
+    ) -> None:
+        """``scale`` ([D] float32): per-dim dequantization scales for int8
+        blocks (index/quantize.py), stored as a sidecar.  Native-npy only —
+        the reference pickle format has no quantization concept."""
         if self.fmt == "npy":
             np.save(os.path.join(self.dir_path, f"emb_block_{block_id}.npy"), emb)
             np.save(os.path.join(self.dir_path, f"embid_block_{block_id}.npy"), ids)
+            if scale is not None:
+                np.save(
+                    os.path.join(self.dir_path, f"embscale_block_{block_id}.npy"),
+                    np.asarray(scale, np.float32),
+                )
         else:  # reference pickle format (gen_doc_embeddings.py:127-155)
+            assert scale is None, "int8 scale sidecars require fmt='npy'"
             pstore(emb, os.path.join(self.dir_path, f"passage_emb_block_{block_id}.pb"))
             pstore(ids, os.path.join(self.dir_path, f"passage_embid_block_{block_id}.pb"))
 
@@ -229,12 +244,21 @@ class EmbeddingBlockStore:
                 ids = pickle.load(f)
         return emb, np.asarray(ids)
 
+    def block_scale(self, block_id: int) -> Optional[np.ndarray]:
+        """Per-dim dequant scales of an int8 block, or None (float block)."""
+        p = os.path.join(self.dir_path, f"embscale_block_{block_id}.npy")
+        return np.load(p) if self.fmt == "npy" and os.path.exists(p) else None
+
     def iter_blocks(
-        self, num_blocks: int = -1
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield (emb, ids) per block.  ``num_blocks=-1``: read until blocks
-        run out; a declared-but-missing block raises (no silent truncation,
-        unlike src/test_HAConvDR_topiocqa.py:81-95)."""
+        self, num_blocks: int = -1, with_scales: bool = False
+    ) -> Iterator[Tuple[np.ndarray, ...]]:
+        """Yield (emb, ids) per block — or (emb, ids, scale-or-None) with
+        ``with_scales=True`` (raw int8 blocks; BlockSearcher folds the
+        scale into the queries).  Without ``with_scales``, int8 blocks are
+        dequantized to float32 so scale-unaware consumers never score raw
+        quantized values.  ``num_blocks=-1``: read until blocks run out; a
+        declared-but-missing block raises (no silent truncation, unlike
+        src/test_HAConvDR_topiocqa.py:81-95)."""
         if num_blocks < 0:
             num_blocks = self.num_blocks()
         for b in range(num_blocks):
@@ -243,7 +267,16 @@ class EmbeddingBlockStore:
                     f"embedding block {b} missing under {self.dir_path} "
                     f"(expected {num_blocks} blocks)"
                 )
-            yield self.read_block(b)
+            emb, ids = self.read_block(b)
+            scale = self.block_scale(b)
+            if with_scales:
+                yield emb, ids, scale
+            elif scale is not None:
+                from haconvdr_tpu.index.quantize import dequantize_int8
+
+                yield dequantize_int8(np.asarray(emb), scale), ids
+            else:
+                yield emb, ids
 
     @classmethod
     def open_auto(cls, dir_path: str, num_blocks_hint: int = -1) -> "EmbeddingBlockStore":

@@ -249,16 +249,20 @@ class BlockSearcher:
     def search(
         self,
         query_embs: np.ndarray,  # [Q, D]
-        blocks: Iterable[Tuple[np.ndarray, np.ndarray]],  # (emb [Nb,D], ids [Nb])
+        blocks: Iterable[Tuple[np.ndarray, ...]],  # (emb [Nb,D], ids [Nb][, scale [D]])
         return_device: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores [Q, k], passage_ids [Q, k]) over all blocks.
 
         ``ids`` are the per-block embedding->offset arrays (the reference's
         passage_embid_block_*, gen_doc_embeddings.py:133-135); output ids
-        are already mapped through them.  Device-resident inputs (jax
-        arrays) take a zero-host-copy path; ``return_device`` skips the
-        final device->host pull for callers that keep consuming on device.
+        are already mapped through them.  Blocks may carry a third element:
+        the per-dim dequant scale of an int8 block (index/quantize.py),
+        folded into the queries for that block — int8 streaming is exact
+        w.r.t. the dequantized rows at half bf16's H2D traffic.
+        Device-resident inputs (jax arrays) take a zero-host-copy path;
+        ``return_device`` skips the final device->host pull for callers
+        that keep consuming on device.
         """
         k = self.top_k
         Q = query_embs.shape[0]
@@ -281,15 +285,19 @@ class BlockSearcher:
         row_multiple = 2048 if self.use_pallas else self.passage_chunk
 
         def to_device(item):
-            emb, ids = item
+            emb, ids = item[0], item[1]
+            scale = item[2] if len(item) > 2 else None
             n_valid = emb.shape[0]
+            # int8 blocks keep their dtype (the kernels upcast tiles to
+            # bf16; compute_dtype would destroy the quantized values)
+            blk_dtype = jnp.int8 if emb.dtype == np.int8 else self.compute_dtype
             if isinstance(emb, jax.Array) and n_valid % row_multiple == 0:
                 # device-resident block (e.g. freshly encoded, HBM-cached):
                 # no host round-trip
-                emb_dev = emb.astype(self.compute_dtype)
+                emb_dev = emb.astype(blk_dtype)
             else:
                 emb_dev = jnp.asarray(
-                    _pad_rows(np.asarray(emb), row_multiple), self.compute_dtype
+                    _pad_rows(np.asarray(emb), row_multiple), blk_dtype
                 )
             if isinstance(ids, jax.Array):
                 ids_dev = ids.astype(jnp.int32)
@@ -297,19 +305,24 @@ class BlockSearcher:
                 ids = np.asarray(ids)
                 assert ids.size == 0 or int(ids.max()) < 2**31, "ids exceed int32"
                 ids_dev = jnp.asarray(ids.astype(np.int32))
+            scale_dev = None if scale is None else jnp.asarray(scale, jnp.float32)
             # async dispatch: the next block's H2D overlaps the current search
-            return (emb_dev, ids_dev, n_valid)
+            return (emb_dev, ids_dev, n_valid, scale_dev)
 
         it = iter(blocks)
         nxt = next(it, None)
         staged = to_device(nxt) if nxt is not None else None
         while staged is not None:
-            passages, ids_arr, n_valid = staged
+            passages, ids_arr, n_valid, scale_dev = staged
             nxt = next(it, None)
             staged = to_device(nxt) if nxt is not None else None
 
+            if scale_dev is None:
+                q_eff = queries
+            else:  # fold the int8 block's dequant scale into the queries
+                q_eff = queries.astype(jnp.float32) * scale_dev
             best_s, best_ids = self._search_block(
-                best_s, best_ids, queries, passages, ids_arr, jnp.int32(n_valid)
+                best_s, best_ids, q_eff, passages, ids_arr, jnp.int32(n_valid)
             )
 
         if return_device:

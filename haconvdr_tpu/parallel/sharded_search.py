@@ -217,6 +217,11 @@ class ShardedIndex:
         dim = None
         for b in range(nb):
             emb, ids = store.read_block(b)
+            blk_scale = store.block_scale(b)
+            if blk_scale is not None:  # int8-quantized block: reconstruct
+                from haconvdr_tpu.index.quantize import dequantize_int8
+
+                emb = dequantize_int8(np.asarray(emb), blk_scale)
             if shard_buf is None:
                 dim = emb.shape[1]
                 shard_buf = np.zeros((shard_rows, dim), buf_dt)

@@ -109,9 +109,11 @@ def search_embedding_store(
 
     def counted_blocks():
         nonlocal n_blocks
-        for emb, ids in store.iter_blocks(s.passage_block_num):
+        # with_scales: int8 blocks stream raw (half bf16's H2D bytes);
+        # BlockSearcher folds each block's dequant scale into the queries
+        for blk in store.iter_blocks(s.passage_block_num, with_scales=True):
             n_blocks += 1
-            yield emb, ids
+            yield blk
 
     result = searcher.search(query_embs, counted_blocks())
     elapsed = time.time() - t0

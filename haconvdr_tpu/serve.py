@@ -139,7 +139,10 @@ class Retriever:
             scores, ids = self.index.search(query_embs, k)
         else:
             scores, ids = self.searcher.search(
-                query_embs, self.store.iter_blocks(self.search_cfg.passage_block_num)
+                query_embs,
+                self.store.iter_blocks(
+                    self.search_cfg.passage_block_num, with_scales=True
+                ),
             )
         if self.offset2pid is not None:
             safe = np.clip(ids, 0, len(self.offset2pid) - 1)

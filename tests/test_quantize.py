@@ -137,3 +137,98 @@ def test_block_size_pickle_format(rng, tmp_path):
     emb = rng.randn(42, 8).astype(np.float32)
     store.write_block(0, emb, np.arange(42, dtype=np.int64))
     assert store.block_size(0) == 42
+
+
+def test_streaming_int8_blocks_match_dequantized_oracle(rng):
+    """BlockSearcher over int8 blocks (scale as the third tuple element):
+    per-block scale folding must reproduce the dequantized-oracle ranking,
+    on both the XLA scan path and the pallas kernel (interpret)."""
+    from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
+    from haconvdr_tpu.ops.topk import BlockSearcher
+
+    Q, D, k = 16, 16, 8
+    queries = rng.randn(Q, D).astype(np.float32)
+    sizes = [200, 150]
+    blocks, deq_scores, base = [], [], 0
+    for n in sizes:
+        emb = rng.randn(n, D).astype(np.float32)
+        i8, sc = quantize_int8(emb)
+        blocks.append((i8, np.arange(base, base + n, dtype=np.int64), sc))
+        deq_scores.append(_deq_oracle_scores(queries, i8, sc))
+        base += n
+    full = np.concatenate(deq_scores, axis=1)
+    ref_s, ref_i = jax.lax.top_k(jnp.asarray(full), k)
+
+    xla = BlockSearcher(top_k=k, passage_chunk=64, use_pallas=False)
+    s1, i1 = xla.search(queries, list(blocks))
+    np.testing.assert_allclose(s1, np.asarray(ref_s), rtol=1e-5)
+    np.testing.assert_array_equal(i1, np.asarray(ref_i))
+
+    pal = BlockSearcher(top_k=k, query_chunk=128, use_pallas=True)
+
+    def fake_block(qq, pp, nv, init_scores=None):
+        return pallas_topk_block(
+            qq, pp, jnp.int32(nv), k, q_tile=16, p_tile=128,
+            init_scores=init_scores, interpret=True,
+        )
+
+    pal._block_topk = fake_block
+    s2, i2 = pal.search(queries, list(blocks))
+    np.testing.assert_allclose(s2, np.asarray(ref_s), rtol=1e-5)
+    np.testing.assert_array_equal(i2, np.asarray(ref_i))
+
+
+def test_encode_corpus_int8_store_roundtrip(tmp_path, rng):
+    """encode_corpus(store_dtype='int8') writes int8 blocks + scale
+    sidecars; scale-unaware readers get dequantized f32 transparently and
+    rank like the float store."""
+    import jax as _jax
+
+    from haconvdr_tpu.config import ModelConfig
+    from haconvdr_tpu.index.build import encode_corpus
+    from haconvdr_tpu.index.store import TokenizedCorpus, TokenizedCorpusWriter
+    from haconvdr_tpu.models.encoder import encode, init_encoder_params
+    from haconvdr_tpu.ops.topk import BlockSearcher
+
+    w = TokenizedCorpusWriter(str(tmp_path / "c"), max_seq_length=6)
+    for pid in range(20):
+        w.add(pid, [4 + pid, 5, 6])
+    w.finalize()
+    corpus = TokenizedCorpus(str(tmp_path / "c"))
+    cfg = ModelConfig.tiny()
+    params = init_encoder_params(_jax.random.PRNGKey(0), cfg)
+    fn = lambda p, ids, mask: encode(p, cfg, ids, mask)  # noqa: E731
+    store = encode_corpus(
+        corpus, fn, params, str(tmp_path / "e"), batch_size=4,
+        per_block_passage_num=8, store_dtype="int8",
+    )
+    f32_store = encode_corpus(
+        corpus, fn, params, str(tmp_path / "f"), batch_size=4,
+        per_block_passage_num=8, store_dtype="float32",
+    )
+    emb, ids = store.read_block(0)
+    scale = store.block_scale(0)
+    assert emb.dtype == np.int8 and scale is not None and scale.shape == (emb.shape[1],)
+
+    # default iteration dequantizes; embeddings match the float store to
+    # quantization precision
+    deq = {}
+    for e, i in store.iter_blocks():
+        assert e.dtype == np.float32
+        for row, off in zip(e, i):
+            deq[int(off)] = row
+    ref = {}
+    for e, i in f32_store.iter_blocks():
+        for row, off in zip(np.asarray(e), i):
+            ref[int(off)] = row
+    assert deq.keys() == ref.keys()
+    for off in ref:
+        np.testing.assert_allclose(deq[off], ref[off], atol=2e-2, rtol=0.1)
+
+    # raw int8 streaming search agrees with the float store's ranking
+    q = rng.randn(3, emb.shape[1]).astype(np.float32)
+    searcher = BlockSearcher(top_k=5, passage_chunk=8, use_pallas=False)
+    s_q, i_q = searcher.search(q, store.iter_blocks(with_scales=True))
+    s_f, i_f = searcher.search(q, f32_store.iter_blocks())
+    overlap = np.mean([len(set(i_q[r]) & set(i_f[r])) / 5 for r in range(3)])
+    assert overlap >= 0.8, overlap
