@@ -113,8 +113,14 @@ def main():
 
     import jax.numpy as jnp
 
-    if os.environ.get("BENCH_STREAM") and jax.devices()[0].platform == "tpu":
-        return bench_streaming(jax, jnp)
+    if os.environ.get("BENCH_STREAM"):
+        if jax.devices()[0].platform == "tpu":
+            return bench_streaming(jax, jnp)
+        print(
+            "BENCH_STREAM requires a TPU; running the resident-block "
+            "smoke benchmark instead",
+            file=sys.stderr,
+        )
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"

@@ -153,6 +153,7 @@ class IndexConfig:
     num_tokenize_workers: int = 8
     per_block_passage_num: int = 2_500_000
     # embedding storage dtype: float32 | bfloat16 (halves HBM per passage)
+    # | int8 (quarters it; per-block scalar quantization, index/quantize.py)
     store_dtype: str = "float32"
 
 

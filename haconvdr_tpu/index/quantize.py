@@ -13,11 +13,16 @@ but zero-offset so the scale FOLDS INTO THE QUERY):
     score(q, x) = sum_d q[d] * (x_int8[d] * scale[d])
                 = sum_d (q[d] * scale[d]) * x_int8[d]
 
-so search over an int8 index is EXACT with respect to the dequantized
-embeddings: fold ``q' = q * scale`` once per (query batch, scale group)
-and run the ordinary kernels with int8 passage tiles upcast to bfloat16 on
-the fly (the matmul is not the bottleneck — selection is; the win is HBM
-*capacity* and H2D/stream *bandwidth*, both halved vs bf16).
+so search over an int8 index scores the dequantized embeddings directly:
+fold ``q' = q * scale`` once per (query batch, scale group) and run the
+ordinary kernels with int8 passage tiles upcast to bfloat16 on the fly.
+The int8 side of the product is exact (|v| <= 127 is bf16-representable);
+the folded query is rounded to bfloat16 at the matmul — the same
+query-side rounding the bfloat16 index path applies — so scores equal the
+exact inner product of the dequantized rows with the bf16-rounded folded
+query (query-side rounding ~2^-9 relative).  The matmul is not the
+bottleneck — selection is; the win is HBM *capacity* and H2D/stream
+*bandwidth*, both halved vs bf16.
 
 Scales may be grouped per shard / per block (each group quantized with its
 own [D] scale): folding happens inside the shard_map / per-block dispatch,

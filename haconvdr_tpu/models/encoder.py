@@ -170,7 +170,9 @@ def _attention(
         use_flash
         and rng is None
         and attention_mask is not None
-        and fused_attention_supported(L, d)
+        and fused_attention_supported(
+            L, d, num_heads=num_heads, itemsize=jnp.dtype(dtype).itemsize
+        )
     ):
         # fused short-sequence attention kernel (ops/fused_attention.py):
         # the [B, L, 3H] projection feeds the kernel directly — no
@@ -207,12 +209,17 @@ def encoder_hidden_states(
     input_ids: jax.Array,
     attention_mask: jax.Array,
     dropout_rng: Optional[jax.Array] = None,
+    trainable: bool = False,
 ) -> jax.Array:
     """Transformer stack -> last_hidden_state [B, L, H].
 
     ``dropout_rng`` enables training-mode dropout with the reference's HF
     placements (embeddings post-LN, attention probs, both residual
-    branches); None = eval mode (the reference's frozen/no-grad towers)."""
+    branches); None = eval mode (the reference's frozen/no-grad towers).
+    ``trainable`` marks a tower that gradients flow through: it vetoes the
+    (non-differentiable) fused attention kernel even when dropout is off —
+    rng presence alone cannot distinguish a dropout-free trained tower
+    from an inference pass."""
     dtype = jnp.dtype(cfg.dtype)
     hd, ad = cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob
     layers = params["layers"]
@@ -252,7 +259,8 @@ def encoder_hidden_states(
         attn_out = _attention(
             x, mask_bias, layer["attention"], cfg.num_attention_heads, dtype,
             attn_drop=ad, rng=rng_a,
-            use_flash=cfg.use_flash_attention, attention_mask=attention_mask,
+            use_flash=cfg.use_flash_attention and not trainable,
+            attention_mask=attention_mask,
         )
         attn_out = _dropout(attn_out, hd, rng_b)
         x = _layer_norm(
@@ -304,6 +312,7 @@ def encode(
     attention_mask: jax.Array,
     use_mean: bool = False,
     dropout_rng: Optional[jax.Array] = None,
+    trainable: bool = False,
 ) -> jax.Array:
     """Full ANCE embedding: encoder -> pooling -> embeddingHead -> LayerNorm.
 
@@ -311,11 +320,14 @@ def encode(
     (CLS) by default, masked mean when ``use_mean`` (src/models.py:52-61);
     ``doc_emb`` is identical (src/models.py:48-49).  ``dropout_rng``
     activates training-mode dropout (the reference trains the query tower
-    in torch train mode, src/train_HAConvDR_topiocqa.py:125).
+    in torch train mode, src/train_HAConvDR_topiocqa.py:125); ``trainable``
+    marks the tower gradients flow through (vetoes the non-differentiable
+    fused attention kernel even with dropout off).
     Returns [B, embedding_dim] float32.
     """
     hidden = encoder_hidden_states(
-        params, cfg, input_ids, attention_mask, dropout_rng=dropout_rng
+        params, cfg, input_ids, attention_mask, dropout_rng=dropout_rng,
+        trainable=trainable,
     )
     if use_mean:
         m = attention_mask.astype(jnp.float32)[:, :, None]

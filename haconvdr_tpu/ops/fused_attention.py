@@ -97,11 +97,24 @@ def fused_attention(
     return ctx.reshape(B, L, H, d).transpose(0, 2, 1, 3)
 
 
-def fused_attention_supported(L: int, d: int) -> bool:
-    """TPU-only; VMEM sanity: score tile [L, L] f32 + operands must fit
-    comfortably.  Callers fall back to exact XLA attention when False, so
-    ``use_flash_attention`` can default on."""
+def fused_attention_supported(
+    L: int, d: int, num_heads: int = 12, itemsize: int = 2
+) -> bool:
+    """TPU-only; VMEM sanity for :func:`fused_attention_qkv`'s per-grid-cell
+    footprint: the double-buffered [1, L, 3H] qkv block and [1, L, H] out
+    block (in the compute dtype) plus the per-head f32 score/prob tiles
+    [L, L].  Budget 10 MB of the 16 MB v5e VMEM (slack for Mosaic's own
+    staging): admits the measured-working shapes (L=384/512 bf16 at
+    H=768) and rejects f32 at those lengths (~11-17 MB modeled), which
+    fall back to exact XLA attention — ``use_flash_attention`` can default
+    on safely."""
     if jax.devices()[0].platform != "tpu":
         return False
-    vmem_bytes = L * L * 4 + 3 * L * d * 4 + L * d * 4
-    return L % 128 == 0 and d % 64 == 0 and vmem_bytes < 8 * 1024 * 1024
+    H = num_heads * d
+    vmem_bytes = (
+        2 * L * 3 * H * itemsize  # qkv in, double-buffered
+        + 2 * L * H * itemsize  # context out, double-buffered
+        + 2 * L * L * 4  # scores + probs, f32
+        + 4 * L * d * itemsize  # per-head q/k/v/o slices
+    )
+    return L % 128 == 0 and d % 64 == 0 and vmem_bytes < 10 * 1024 * 1024

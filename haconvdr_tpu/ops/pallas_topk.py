@@ -256,8 +256,10 @@ def pallas_topk_block(
     out_s = parts_s[0] if len(parts_s) == 1 else jnp.concatenate(parts_s)
     out_i = parts_i[0] if len(parts_i) == 1 else jnp.concatenate(parts_i)
 
-    # buffer is unsorted; order + trim to k (ties: lower index first like
-    # lax.top_k by biasing the sort key with the index)
+    # buffer is unsorted; order + trim to k.  Within a tie class the order
+    # follows buffer-slot position (i.e. extraction order), NOT faiss/
+    # lax.top_k's lowest-index-first — membership is still exact (see the
+    # tie tests in tests/test_pallas_topk.py)
     top_s, pos = jax.lax.top_k(out_s[:Q], k)
     top_i = jnp.take_along_axis(out_i[:Q], pos, axis=1)
     return top_s, top_i

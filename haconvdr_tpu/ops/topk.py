@@ -187,7 +187,6 @@ class BlockSearcher:
         self.use_pallas = use_pallas
         if use_pallas:
             assert query_chunk % 128 == 0, "pallas path needs 128-aligned query chunks"
-        self._merge = jax.jit(functools.partial(merge_topk, k=top_k))
 
         @jax.jit
         def _search_block(best_s, best_ids, queries, passages, ids_arr, n_valid):
@@ -258,8 +257,9 @@ class BlockSearcher:
         passage_embid_block_*, gen_doc_embeddings.py:133-135); output ids
         are already mapped through them.  Blocks may carry a third element:
         the per-dim dequant scale of an int8 block (index/quantize.py),
-        folded into the queries for that block — int8 streaming is exact
-        w.r.t. the dequantized rows at half bf16's H2D traffic.
+        folded into the queries for that block — int8 streaming scores the
+        dequantized rows (bf16 query-side rounding, like a bf16 index) at
+        half bf16's H2D traffic.
         Device-resident inputs (jax arrays) take a zero-host-copy path;
         ``return_device`` skips the final device->host pull for callers
         that keep consuming on device.
@@ -300,7 +300,16 @@ class BlockSearcher:
                     _pad_rows(np.asarray(emb), row_multiple), blk_dtype
                 )
             if isinstance(ids, jax.Array):
-                ids_dev = ids.astype(jnp.int32)
+                if ids.dtype != jnp.int32:
+                    # a silent astype would wrap >=2^31 ids into the -1
+                    # seed-survivor sentinel range; the host branch below
+                    # checks the bound, device arrays can't without a sync
+                    raise ValueError(
+                        "device-resident block ids must be int32 "
+                        f"(got {ids.dtype}); cast on host where the 2^31 "
+                        "bound is checked"
+                    )
+                ids_dev = ids
             else:
                 ids = np.asarray(ids)
                 assert ids.size == 0 or int(ids.max()) < 2**31, "ids exceed int32"

@@ -43,7 +43,8 @@ def sharded_topk(
 
     ``scales`` (int8 indexes, index/quantize.py): each shard folds its own
     per-dim dequantization scale into the replicated queries before
-    scoring, making the int8 search exact w.r.t. the dequantized rows."""
+    scoring: the int8 search scores the dequantized rows (int8 side exact,
+    query side bf16-rounded like the bfloat16 index path)."""
     fmesh = _flat_mesh(mesh)
     n_shards = fmesh.devices.size
     Ntot = passages.shape[0]
@@ -94,8 +95,8 @@ class ShardedIndex:
     For corpora larger than total HBM, callers hold several ShardedIndex
     blocks and merge results via ops.topk.merge_topk (the BlockSearcher
     pattern), or shrink the resident bytes with ``dtype="bfloat16"`` (2x)
-    or ``dtype="int8"`` (4x; per-shard scalar quantization, exact w.r.t.
-    the dequantized rows — index/quantize.py).
+    or ``dtype="int8"`` (4x; per-shard scalar quantization scoring the
+    dequantized rows at bf16 query precision — index/quantize.py).
     """
 
     def __init__(
@@ -172,8 +173,8 @@ class ShardedIndex:
 
         Memory plan: a 54M x 768 corpus is 167 GB in f32 — beyond a v5e-8's
         HBM — but 84 GB in bfloat16, which fits, and 42 GB as an int8
-        index (dtype="int8", index/quantize.py: per-shard per-dim scales,
-        exact search over the dequantized rows), which fits a v5e-4
+        index (dtype="int8", index/quantize.py: per-shard per-dim scales;
+        scores the dequantized rows directly), which fits a v5e-4
         (SURVEY.md SS7 hard part (b)).  f32 corpora that exceed HBM should
         use the streaming BlockSearcher instead.
 

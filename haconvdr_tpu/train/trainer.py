@@ -124,7 +124,7 @@ def make_train_step(
         # mode (":126", passage_encoder.eval())
         q = encode(
             params, model_cfg, batch[query_key], batch[f"{query_key}_mask"],
-            dropout_rng=dropout_rng,
+            dropout_rng=dropout_rng, trainable=True,
         )
         sg = jax.lax.stop_gradient
 

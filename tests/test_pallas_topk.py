@@ -259,7 +259,10 @@ def test_cross_block_tie_earlier_block_wins(rng):
 
     pal._block_topk = fake_block
     s2, i2 = pal.search(q, [(pa, ids_a), (pb, ids_b)])
-    np.testing.assert_array_equal(s1, s2)
+    # ties are exact WITHIN each implementation (identical rows -> identical
+    # scores); across implementations the accumulation order differs
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+    assert len(set(np.round(s2[0], 4))) == 1  # still a 4-way tie in-impl
     # kernel extraction order within block A may differ, but the winner
     # set must still be block-A members of the tie class
     assert set(i2[0]) <= set(range(6))

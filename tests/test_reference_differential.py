@@ -321,3 +321,188 @@ def test_trec_run_matches_reference_semantics(ref_modules, ckpt, tmp_path):
     for key in m1:
         assert abs(m1[key] - m2[key]) <= 2.0, (key, m1[key], m2[key])
     assert m1["MRR"] > 0 and m2["MRR"] > 0
+
+
+def _mini_topiocqa_train(path):
+    """Train-side fixture: the eval records plus the train-only fields.
+    pseudo_prepos_docs / prepos_neg_docs stay EMPTY on purpose: the
+    reference's non-empty branches are dead code (the record lists are
+    shadowed by the just-initialized empty token lists at
+    /root/reference/src/data.py:325-333, and the non-empty prepos branch
+    hits the ``prepos_neg_docss`` NameError) — the differential covers the
+    executable subset; the intended non-empty behavior is covered by the
+    rebuild's own golden tests."""
+    recs, docs = [], {
+        1: "the cat sat on the mat",
+        2: "dogs chase the red ball",
+        3: "teapots hold hot tea",
+        5: "rivers flow to the sea",
+        6: "the moon orbits the earth",
+    }
+    base = [
+        {"sample_id": "1_1", "cur_utt_text": "what do cats sit on",
+         "last_response": "", "rel_label": [],
+         "pos_docs": [docs[1]], "pos_docs_pids": [1],
+         "bm25_hard_neg_docs": [docs[5]]},
+        {"sample_id": "1_2",
+         "cur_utt_text": "what do cats sit on [SEP] the mat [SEP] and dogs chase what",
+         "last_response": docs[1], "rel_label": [1],
+         "pos_docs": [docs[2]], "pos_docs_pids": [2],
+         "bm25_hard_neg_docs": [docs[6]]},
+        {"sample_id": "1_3",
+         "cur_utt_text": "what do cats sit on [SEP] the mat [SEP] and dogs chase what [SEP] a red ball [SEP] where does tea go",
+         "last_response": docs[2], "rel_label": [0, 1],
+         "pos_docs": [docs[3]], "pos_docs_pids": [3],
+         "bm25_hard_neg_docs": [docs[1]]},
+        {"sample_id": "2_1", "cur_utt_text": "where do rivers flow",
+         "last_response": "", "rel_label": [],
+         "pos_docs": [docs[5]], "pos_docs_pids": [5],
+         "bm25_hard_neg_docs": [docs[2]]},
+        {"sample_id": "2_2",
+         "cur_utt_text": "where do rivers flow [SEP] to the sea [SEP] what orbits the earth",
+         "last_response": docs[5], "rel_label": [0],
+         "pos_docs": [docs[6]], "pos_docs_pids": [6],
+         "bm25_hard_neg_docs": [docs[3]]},
+    ]
+    for r in base:
+        r["pseudo_prepos_docs"] = []
+        r["prepos_neg_docs"] = []
+        recs.append(r)
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    return recs
+
+
+@pytest.mark.parametrize("use_prl", [False, True])
+def test_train_concat_matches_reference(ref_modules, ckpt, tmp_path, use_prl):
+    """Train-side differential: Retrieval_topiocqa_new
+    (/root/reference/src/data.py:253-335, the dataset every topiocqa train
+    run uses) vs build_topiocqa_train_examples — conv_qp concat, masks and
+    pos/bm25-neg doc tokenization must be byte-identical."""
+    _, ref_data = ref_modules
+    ckpt_dir, _, _ = ckpt
+    tok = transformers.RobertaTokenizer.from_pretrained(ckpt_dir)
+    train_file = tmp_path / "train.json"
+    _mini_topiocqa_train(train_file)
+
+    args = _ref_args(is_train=True, use_PRL=use_prl)
+    ref_ds = ref_data.Retrieval_topiocqa_new(args, tok, str(train_file))
+    collate = ref_data.Retrieval_topiocqa_new.get_collate_fn(args)
+    ref_batch = collate([ref_ds[i] for i in range(len(ref_ds))])
+
+    from haconvdr_tpu.data.topiocqa import build_topiocqa_train_examples
+
+    ours = build_topiocqa_train_examples(
+        _our_cfg(is_train=True, use_PRL=use_prl), tok, str(train_file)
+    )
+    assert len(ours) == len(ref_ds)
+    for key, ref_key in [
+        ("conv_qp", "bt_conv_qp"), ("conv_qp_mask", "bt_conv_qp_mask"),
+        ("pos_docs", "bt_pos_docs"), ("pos_docs_mask", "bt_pos_docs_mask"),
+        ("neg_docs", "bt_neg_docs"), ("neg_docs_mask", "bt_neg_docs_mask"),
+    ]:
+        ref_arr = np.asarray(ref_batch[ref_key])
+        for i, ex in enumerate(ours):
+            np.testing.assert_array_equal(
+                ref_arr[i], np.asarray(ex[key]),
+                err_msg=f"{key} sample {i} (use_PRL={use_prl})",
+            )
+
+
+@pytest.fixture()
+def ref_train_module(ref_modules):
+    """Load the reference train script itself (its loss functions are the
+    training contract).  Its import chain needs: toml + tensorboardX stubs
+    (not installed / pulls TF), bare-name modules ``models``/``data``/
+    ``utils`` on sys.modules (the reference uses flat sys.path imports),
+    and ``transformers.AdamW`` (removed upstream; utils.py:11 imports it —
+    shimmed with torch.optim.AdamW, never called here)."""
+    import types
+
+    names = ("toml", "tensorboardX", "models", "utils", "data", "_ref_train")
+    saved = {k: sys.modules.get(k) for k in names}
+    had_adamw = True  # resolved against the live module inside try
+    try:
+        sys.modules["toml"] = types.ModuleType("toml")
+        tbx = types.ModuleType("tensorboardX")
+        tbx.SummaryWriter = object
+        sys.modules["tensorboardX"] = tbx
+        sys.modules["models"] = ref_modules[0]
+        sys.modules["data"] = ref_modules[1]
+        # loading models.py finalizes transformers' lazy init, which SWAPS
+        # the sys.modules['transformers'] object — shim the CURRENT one,
+        # immediately before utils.py's `from transformers import AdamW`
+        tf_now = sys.modules["transformers"]
+        had_adamw = hasattr(tf_now, "AdamW")
+        if not had_adamw:
+            tf_now.AdamW = torch.optim.AdamW
+        _load_ref_module("utils", os.path.join(REF, "utils.py"))
+        train = _load_ref_module(
+            "_ref_train", os.path.join(REF, "train_HAConvDR_topiocqa.py")
+        )
+        yield train
+    finally:
+        for k in names:
+            if saved[k] is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = saved[k]
+        tf_now = sys.modules.get("transformers")
+        if not had_adamw and tf_now is not None and hasattr(tf_now, "AdamW"):
+            del tf_now.AdamW
+
+
+def test_losses_match_reference(ref_train_module):
+    """Loss differential against the reference's OWN cal_ranking_loss /
+    cal_ranking_loss_prepos / cal_kd_loss
+    (/root/reference/src/train_HAConvDR_topiocqa.py:47-79), across the
+    hard_neg_type and is_pseudo_prepos/is_prepos_neg flag matrix."""
+    import itertools
+
+    from haconvdr_tpu.train.loss import kd_loss, ranking_loss, ranking_loss_prepos
+
+    m = ref_train_module
+    rng = np.random.RandomState(11)
+    B, D = 6, 16
+    q, pos, neg, pseudo, prepos = (
+        rng.randn(B, D).astype(np.float32) for _ in range(5)
+    )
+    tq, tpos, tneg, tpseudo, tprepos = (
+        torch.tensor(a) for a in (q, pos, neg, pseudo, prepos)
+    )
+
+    m.args = Namespace(hard_neg_type="bm25", device="cpu")
+    ref = float(m.cal_ranking_loss(tq, tpos, tneg))
+    ours = float(ranking_loss(jnp.asarray(q), jnp.asarray(pos), jnp.asarray(neg)))
+    assert abs(ref - ours) < 1e-5, (ref, ours)
+
+    m.args = Namespace(hard_neg_type=None, device="cpu")
+    ref = float(m.cal_ranking_loss(tq, tpos, tneg))
+    ours = float(ranking_loss(jnp.asarray(q), jnp.asarray(pos), None))
+    assert abs(ref - ours) < 1e-5, (ref, ours)
+
+    for isp, ipn in itertools.product([False, True], repeat=2):
+        m.args = Namespace(
+            is_pseudo_prepos=isp, is_prepos_neg=ipn, alpha=0.5, device="cpu"
+        )
+        ref = float(
+            m.cal_ranking_loss_prepos(
+                tq, tpos, tneg,
+                pseudo_prepos_embs=tpseudo if isp else None,
+                prepos_neg_doc_embs=tprepos if ipn else None,
+            )
+        )
+        ours = float(
+            ranking_loss_prepos(
+                jnp.asarray(q), jnp.asarray(pos), jnp.asarray(neg),
+                pseudo_prepos_embs=jnp.asarray(pseudo) if isp else None,
+                prepos_neg_doc_embs=jnp.asarray(prepos) if ipn else None,
+                alpha=0.5, is_pseudo_prepos=isp, is_prepos_neg=ipn,
+            )
+        )
+        assert abs(ref - ours) < 1e-5, (isp, ipn, ref, ours)
+
+    ref = float(m.cal_kd_loss(tq, tpos))
+    ours = float(kd_loss(jnp.asarray(q), jnp.asarray(pos)))
+    assert abs(ref - ours) < 1e-5, (ref, ours)
