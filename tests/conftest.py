@@ -30,9 +30,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.RandomState(0)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic RandomState, seeded from the test id: the
+    data a test sees no longer depends on which tests ran before it (a
+    session-scoped stream made assertions order-dependent — same-file vs
+    full-suite runs drew different data)."""
+    import zlib
+
+    return np.random.RandomState(zlib.crc32(request.node.nodeid.encode()) & 0x7FFFFFFF)
 
 
 @pytest.fixture(scope="session", autouse=True)
