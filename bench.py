@@ -142,6 +142,86 @@ def bench_latency(jax, jnp):
     )
 
 
+def bench_ivf(jax, jnp):
+    """BENCH_IVF=1: cluster-pruned online serving (index/ivf.py) at 2.5M.
+    Data is a CLUSTERED mixture generated on device (IVF's regime; with
+    noise scaled so mode direction dominates — uniform random directions
+    do not cluster and are the wrong benchmark), the index is built
+    entirely on device (build_ivf_device, ~6 s at 2.5M), and the report is
+    pipelined single-query latency at nprobe=64/4096 plus measured
+    recall@100 against the exact fused kernel.  Measured: 1.46 ms at
+    recall 1.0 (vs 6.7 ms exact bf16 scan; vs the same 10 ms faiss-gpu
+    single-block pin as BENCH_LATENCY)."""
+    from haconvdr_tpu.index.ivf import _ivf_search_one, build_ivf_device, ivf_search
+    from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
+
+    BASELINE_SINGLE_QUERY_MS = 10.0
+    N, D, n_modes, NQ = 2_500_000, DIM, 16384, 64
+    SPREAD = 0.5 / (D ** 0.5)
+    km, kp, kn, kq, kqn = jax.random.split(jax.random.PRNGKey(0), 5)
+    modes = jax.random.normal(km, (n_modes, D), jnp.float32)
+    modes = modes / jnp.linalg.norm(modes, axis=1, keepdims=True)
+    CH, n_chunks = 50_000, N // 50_000
+
+    @jax.jit
+    def gen_corpus(kp, kn):
+        def one(keys):
+            k1, k2 = keys
+            pick = jax.random.randint(k1, (CH,), 0, n_modes)
+            x = modes[pick] + SPREAD * jax.random.normal(k2, (CH, D), jnp.float32)
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            return x.astype(jnp.bfloat16)
+
+        return jax.lax.map(
+            one, (jax.random.split(kp, n_chunks), jax.random.split(kn, n_chunks))
+        ).reshape(N, D)
+
+    x = gen_corpus(kp, kn)
+    pick = jax.random.randint(kq, (NQ,), 0, n_modes)
+    q = modes[pick] + SPREAD * jax.random.normal(kqn, (NQ, D), jnp.float32)
+    q = (q / jnp.linalg.norm(q, axis=1, keepdims=True)).astype(jnp.bfloat16)
+
+    pad = -N % 2048
+    xp = jnp.concatenate([x, jnp.zeros((pad, D), x.dtype)]) if pad else x
+    gt_s, gt_i = pallas_topk_block(q, xp, jnp.int32(N), TOP_K)
+    gt_i = np.asarray(gt_i)
+    del xp
+
+    index = build_ivf_device(
+        x, nlist=4096, nprobe=64, slack=1.3, tail_frac=0.08, seed=0
+    )
+    del x
+    s, i = ivf_search(index, np.asarray(q, np.float32), k=TOP_K)
+    recall = float(
+        np.mean([len(set(i[r]) & set(gt_i[r])) / TOP_K for r in range(NQ)])
+    )
+
+    arrays = (
+        index.centroids, index.buckets, index.bucket_ids,
+        index.tail, index.tail_ids,
+    )
+    one_q = jnp.asarray(np.asarray(q[:1], np.float32))[0]
+    ss, ii = _ivf_search_one(arrays, one_q, TOP_K, 64)  # compile
+    np.asarray(ss[:1])
+    reps = 100
+    t0 = time.time()
+    for _ in range(reps):
+        ss, ii = _ivf_search_one(arrays, one_q, TOP_K, 64)
+    np.asarray(ss[:1])
+    ms = (time.time() - t0) / reps * 1000.0
+    print(
+        json.dumps(
+            {
+                "metric": "ivf_single_query_ms_2.5M_nprobe64of4096",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_SINGLE_QUERY_MS / ms, 2),
+                "recall_at_100_vs_exact": round(recall, 4),
+            }
+        )
+    )
+
+
 def main():
     import jax
 
@@ -168,6 +248,14 @@ def main():
             return bench_latency(jax, jnp)
         print(
             "BENCH_LATENCY requires a TPU; running the resident-block "
+            "smoke benchmark instead",
+            file=sys.stderr,
+        )
+    if os.environ.get("BENCH_IVF"):
+        if jax.devices()[0].platform == "tpu":
+            return bench_ivf(jax, jnp)
+        print(
+            "BENCH_IVF requires a TPU; running the resident-block "
             "smoke benchmark instead",
             file=sys.stderr,
         )

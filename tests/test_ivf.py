@@ -1,0 +1,113 @@
+"""IVF (cluster-pruned) serving index: construction invariants, recall on
+a clustered mixture distribution, and the full-probe == exact property."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from haconvdr_tpu.index.ivf import build_ivf, ivf_search, spherical_kmeans
+from haconvdr_tpu.ops.topk import exact_topk_oracle
+
+
+def _mixture(rng, n, d, n_modes=16, spread=0.15):
+    """Clustered unit-norm vectors (the regime IVF is for; uniform random
+    directions do not cluster and are the wrong benchmark)."""
+    modes = rng.randn(n_modes, d).astype(np.float32)
+    modes /= np.linalg.norm(modes, axis=1, keepdims=True)
+    pick = rng.randint(0, n_modes, n)
+    x = modes[pick] + spread * rng.randn(n, d).astype(np.float32)
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+def test_kmeans_centroids_unit_norm(rng):
+    x = _mixture(rng, 512, 24)
+    cent = np.asarray(spherical_kmeans(jnp.asarray(x), nlist=8, iters=5))
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-4)
+
+
+def test_build_partitions_every_row(rng):
+    n, d = 700, 16
+    x = _mixture(rng, n, d)
+    ids = np.arange(100, 100 + n, dtype=np.int32)
+    index = build_ivf(x, nlist=16, nprobe=4, slack=1.1, ids=ids, seed=3)
+    got = np.concatenate(
+        [np.asarray(index.bucket_ids).ravel(), np.asarray(index.tail_ids)]
+    )
+    got = got[got >= 0]
+    assert sorted(got.tolist()) == sorted(ids.tolist())  # no loss, no dupes
+
+
+def test_full_probe_equals_exact(rng):
+    """nprobe == nlist scans everything: IVF must equal the exact oracle
+    (the spill tail plus all buckets cover the corpus)."""
+    n, d, k = 600, 16, 9
+    x = _mixture(rng, n, d)
+    q = _mixture(rng, 5, d)
+    index = build_ivf(x, nlist=8, nprobe=8, slack=1.05, seed=1)
+    s, i = ivf_search(index, q, k=k)
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(x), k)
+    np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5)
+    # equal scores can reorder between implementations; compare sets
+    for r in range(5):
+        assert set(i[r].tolist()) == set(np.asarray(ri)[r].tolist())
+
+
+def test_partial_probe_recall_on_clustered_data(rng):
+    n, d, k = 4000, 32, 10
+    x = _mixture(rng, n, d, n_modes=24)
+    q = _mixture(rng, 16, d, n_modes=24)
+    index = build_ivf(x, nlist=64, nprobe=8, slack=1.3, seed=2)
+    s, i = ivf_search(index, q, k=k)
+    _, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(x), k)
+    ri = np.asarray(ri)
+    recall = np.mean([len(set(i[r]) & set(ri[r])) / k for r in range(len(q))])
+    # 12.5% of clusters probed on clustered data
+    assert recall >= 0.9, recall
+    # and a smaller probe trades recall down, never errors
+    s2, i2 = ivf_search(index, q, k=k, nprobe=2)
+    recall2 = np.mean([len(set(i2[r]) & set(ri[r])) / k for r in range(len(q))])
+    assert recall2 <= recall + 1e-9
+
+
+def test_ivf_scores_are_true_inner_products(rng):
+    n, d, k = 800, 16, 7
+    x = _mixture(rng, n, d)
+    q = _mixture(rng, 3, d)
+    index = build_ivf(x, nlist=16, nprobe=6, seed=4)
+    s, i = ivf_search(index, q, k=k)
+    full = q @ x.T
+    for r in range(3):
+        np.testing.assert_allclose(s[r], full[r, i[r]], rtol=1e-5)
+
+
+def test_device_build_matches_host_build_semantics(rng):
+    """build_ivf_device (sort + static scatter, no host round-trip) must
+    produce an index with the same partition invariants and the same
+    full-probe == exact property as the host builder."""
+    from haconvdr_tpu.index.ivf import build_ivf_device
+
+    n, d, k = 600, 16, 9
+    x = _mixture(rng, n, d)
+    q = _mixture(rng, 4, d)
+    index = build_ivf_device(jnp.asarray(x), nlist=8, nprobe=8, slack=1.05, seed=1)
+    got = np.concatenate(
+        [np.asarray(index.bucket_ids).ravel(), np.asarray(index.tail_ids)]
+    )
+    got = got[got >= 0]
+    assert sorted(got.tolist()) == list(range(n))  # every row exactly once
+    s, i = ivf_search(index, q, k=k)
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(x), k)
+    np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5)
+    for r in range(4):
+        assert set(i[r].tolist()) == set(np.asarray(ri)[r].tolist())
+
+
+def test_device_build_overflow_raises(rng):
+    from haconvdr_tpu.index.ivf import build_ivf_device
+
+    x = _mixture(rng, 400, 8, n_modes=1, spread=0.0)  # everything one cluster
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="IVF overflow"):
+        build_ivf_device(
+            jnp.asarray(x), nlist=16, nprobe=4, slack=1.0, tail_frac=0.02
+        )
