@@ -321,3 +321,28 @@ def test_retriever_streaming_mode(pipeline):
     )
     hits = r.retrieve(_passage_text(33))
     assert hits[0][0] == 33
+
+
+def test_retriever_ivf_mode(pipeline):
+    """Retriever with ivf=True serves through the cluster-pruned index;
+    with every cluster probed it must find the exact-token passage at
+    rank 1 like the flat path."""
+    tmp, tok, mcfg, params, corpus, mesh = pipeline
+    from haconvdr_tpu.config import DataConfig, SearchConfig
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+    from haconvdr_tpu.serve import Retriever
+
+    store = EmbeddingBlockStore(str(tmp / "embeds"))
+    r = Retriever(
+        tok, params, mcfg, store,
+        offset2pid=corpus.offset2pid(),
+        data_cfg=DataConfig(
+            is_train=False, use_PRL=False,
+            max_query_length=16, max_doc_length=16, max_concat_length=24,
+        ),
+        search_cfg=SearchConfig(top_k=5, per_device_test_batch_size=1),
+        ivf=True, ivf_nlist=4, ivf_nprobe=4,
+    )
+    assert r.ivf_index is not None and r.index is None
+    hits = r.retrieve(_passage_text(21))
+    assert hits[0][0] == 21
