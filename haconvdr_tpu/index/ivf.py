@@ -102,6 +102,12 @@ def build_ivf(
     """Cluster, reorder into equal-capacity buckets, spill overflow to the
     tail.  ``capacity = ceil(N / nlist * slack)`` rounded up to 8 rows."""
     N, D = embeddings.shape
+    if N < nlist:
+        raise ValueError(f"corpus has {N} rows < nlist={nlist}")
+    nprobe = min(nprobe, nlist)
+    jdt = jnp.dtype(dtype)
+    if jdt not in (jnp.float32, jnp.bfloat16):
+        raise ValueError("IVF stores float32/bfloat16 buckets, got " + dtype)
     ids = np.arange(N, dtype=np.int32) if ids is None else np.asarray(ids, np.int32)
     key = jax.random.PRNGKey(seed)
     sample = embeddings
@@ -114,8 +120,6 @@ def build_ivf(
     # host-side assignment in chunks (one pass over the corpus)
     capacity = int(np.ceil(N * slack / nlist))
     capacity = max(8, -(-capacity // 8) * 8)
-    jdt = jnp.dtype(dtype)
-    assert jdt in (jnp.float32, jnp.bfloat16), "IVF stores float32/bfloat16"
     buckets = np.zeros((nlist, capacity, D), jdt)
     bucket_ids = np.full((nlist, capacity), -1, np.int32)
     fill = np.zeros(nlist, np.int64)
@@ -181,6 +185,9 @@ def build_ivf_device(
     rows, tail positions for the overflow.  Raises if the overflow
     exceeds ``tail_frac`` of N (re-run with more slack)."""
     N, D = embeddings.shape
+    if N < nlist:
+        raise ValueError(f"corpus has {N} rows < nlist={nlist}")
+    nprobe = min(nprobe, nlist)
     ids = (
         jnp.arange(N, dtype=jnp.int32) if ids is None else ids.astype(jnp.int32)
     )
@@ -317,19 +324,19 @@ def ivf_search(
     working set — the intended regime is online/small-batch serving; batch
     evaluation should use the exact flat path."""
     nprobe = index.nprobe if nprobe is None else nprobe
+    nprobe = min(nprobe, index.centroids.shape[0])
     arrays = (
         index.centroids, index.buckets, index.bucket_ids,
         index.tail, index.tail_ids,
     )
-    q = jnp.asarray(queries)
-
-    # index arrays are ARGUMENTS, not closure captures: capturing them
-    # would bake GBs of constants into the compiled program
-    @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-    def fn(arrays, qs, k, nprobe):
-        return jax.lax.map(
-            lambda one: _ivf_search_one(arrays, one, k, nprobe), qs
-        )
-
-    s, i = fn(arrays, q, k, nprobe)
+    s, i = _ivf_search_batch(arrays, jnp.asarray(queries), k, nprobe)
     return np.asarray(s), np.asarray(i)
+
+
+# module-level jit: index arrays are ARGUMENTS, not closure captures
+# (capturing bakes GBs of constants into the program), and the cache must
+# persist across ivf_search calls (a per-call jit wrapper would retrace +
+# recompile every query — seconds per call at serving scale)
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_search_batch(arrays, qs, k, nprobe):
+    return jax.lax.map(lambda one: _ivf_search_one(arrays, one, k, nprobe), qs)

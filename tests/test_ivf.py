@@ -111,3 +111,22 @@ def test_device_build_overflow_raises(rng):
         build_ivf_device(
             jnp.asarray(x), nlist=16, nprobe=4, slack=1.0, tail_frac=0.02
         )
+
+
+def test_param_validation_and_clamps(rng):
+    from haconvdr_tpu.index.ivf import build_ivf_device
+    import pytest as _pytest
+
+    x = _mixture(rng, 64, 8)
+    with _pytest.raises(ValueError, match="< nlist"):
+        build_ivf(x, nlist=128)
+    with _pytest.raises(ValueError, match="< nlist"):
+        build_ivf_device(jnp.asarray(x), nlist=128)
+    with _pytest.raises(ValueError, match="float32/bfloat16"):
+        build_ivf(x, nlist=4, dtype="int8")
+    # nprobe > nlist clamps instead of crashing in top_k
+    index = build_ivf(x, nlist=4, nprobe=99)
+    s, i = ivf_search(index, _mixture(rng, 2, 8), k=3)
+    assert s.shape == (2, 3)
+    s2, i2 = ivf_search(index, _mixture(rng, 2, 8), k=3, nprobe=50)
+    assert s2.shape == (2, 3)
