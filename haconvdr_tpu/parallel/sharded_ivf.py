@@ -1,0 +1,155 @@
+"""Mesh-sharded IVF serving: the cluster-pruned index at pod scale.
+
+The single-chip IVF index (index/ivf.py) is capacity-limited by one HBM:
+QReCC-54M buckets are ~90 GB bf16 with the build's slack.  Here the bucket
+array is sharded along the CLUSTER axis across the mesh (each device owns
+``nlist / n_shards`` whole clusters plus a slice of the spill tail) and a
+query is answered cooperatively:
+
+  * every shard computes the same global top-``nprobe`` centroid probe
+    (centroids are replicated — tiny);
+  * each shard scores only the probed clusters IT OWNS (non-owned probes
+    are masked, keeping shapes static) plus its local tail slice;
+  * per-shard candidates meet in the same ``all_gather`` + on-device
+    ``lax.top_k`` merge as the flat sharded index
+    (parallel/sharded_search.py), so results are identical to the
+    single-device IVF search over the same index.
+
+Latency stays in the single-chip IVF class (each shard does at most the
+single-chip amount of bucket work; the merge adds one small collective);
+the win is CAPACITY — buckets live once across the pod, replacing faiss's
+GPU shard clone (src/test_HAConvDR_topiocqa.py:55-66) for the pruned
+serving path the reference does not have at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from haconvdr_tpu.index.ivf import IVFIndex
+
+
+def _flat_mesh(mesh: Mesh) -> Mesh:
+    return Mesh(mesh.devices.reshape(-1), ("d",))
+
+
+def shard_ivf(mesh: Mesh, index: IVFIndex) -> IVFIndex:
+    """Place an IVFIndex across the mesh: buckets/bucket_ids sharded on the
+    cluster axis, tail sharded on rows, centroids replicated.  ``nlist``
+    and the tail row count must divide the shard count (build with
+    matching nlist / tail_frac, or pad the tail)."""
+    fmesh = _flat_mesh(mesh)
+    n = fmesh.devices.size
+    nlist = index.buckets.shape[0]
+    tail_rows = index.tail.shape[0]
+    if nlist % n or tail_rows % n:
+        raise ValueError(
+            f"nlist ({nlist}) and tail rows ({tail_rows}) must divide the "
+            f"shard count ({n})"
+        )
+    rep = NamedSharding(fmesh, P())
+    row_sh = NamedSharding(fmesh, P("d"))
+    return IVFIndex(
+        centroids=jax.device_put(index.centroids, rep),
+        buckets=jax.device_put(index.buckets, NamedSharding(fmesh, P("d", None, None))),
+        bucket_ids=jax.device_put(index.bucket_ids, NamedSharding(fmesh, P("d", None))),
+        tail=jax.device_put(index.tail, NamedSharding(fmesh, P("d", None))),
+        tail_ids=jax.device_put(index.tail_ids, row_sh),
+        nprobe=index.nprobe,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "nprobe"))
+def _sharded_ivf_search(
+    mesh: Mesh,
+    centroids: jax.Array,
+    buckets: jax.Array,
+    bucket_ids: jax.Array,
+    tail: jax.Array,
+    tail_ids: jax.Array,
+    queries: jax.Array,  # [Q, D] replicated
+    k: int,
+    nprobe: int,
+) -> Tuple[jax.Array, jax.Array]:
+    fmesh = _flat_mesh(mesh)
+    n_shards = fmesh.devices.size
+    nlist = buckets.shape[0]
+    per_shard = nlist // n_shards
+
+    def local(q_all, cent, b, bi, t, ti):
+        shard = jax.lax.axis_index("d")
+        lo = shard * per_shard
+
+        def one(q):
+            qn = q.astype(jnp.float32)
+            qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-6)
+            _, probe = jax.lax.top_k(cent @ qn, nprobe)  # global cluster ids
+            qb = q.astype(b.dtype)
+            owned = (probe >= lo) & (probe < lo + per_shard)
+            local_idx = jnp.clip(probe - lo, 0, per_shard - 1)
+
+            def per_probe(args):
+                p, own = args
+                rows = jax.lax.dynamic_index_in_dim(b, p, axis=0, keepdims=False)
+                pid = jax.lax.dynamic_index_in_dim(bi, p, axis=0, keepdims=False)
+                s = jax.lax.dot_general(
+                    rows, qb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # non-owned probes are dummy work on clamped indices:
+                # masked out here so only the owning shard reports them
+                return jnp.where(own, s, -jnp.inf), jnp.where(own, pid, -1)
+
+            s_p, i_p = jax.lax.map(per_probe, (local_idx, owned))
+            t_s = jax.lax.dot_general(
+                t, qb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores = jnp.concatenate([s_p.reshape(-1), t_s])
+            ids = jnp.concatenate([i_p.reshape(-1), ti])
+            scores = jnp.where(ids >= 0, scores, -jnp.inf)
+            ts, pos = jax.lax.top_k(scores, k)
+            return ts, ids[pos]
+
+        ls, li = jax.lax.map(one, q_all)  # [Q, k] local candidates
+        sg = jax.lax.all_gather(ls, "d")  # [n_shards, Q, k]
+        ig = jax.lax.all_gather(li, "d")
+        Q = q_all.shape[0]
+        sg = jnp.moveaxis(sg, 0, 1).reshape(Q, n_shards * k)
+        ig = jnp.moveaxis(ig, 0, 1).reshape(Q, n_shards * k)
+        best_s, pos = jax.lax.top_k(sg, k)
+        return best_s, jnp.take_along_axis(ig, pos, axis=1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=fmesh,
+        in_specs=(P(), P(), P("d", None, None), P("d", None), P("d", None), P("d")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, centroids, buckets, bucket_ids, tail, tail_ids)
+
+
+def sharded_ivf_search(
+    mesh: Mesh,
+    index: IVFIndex,
+    queries: np.ndarray,  # [Q, D]
+    k: int = 100,
+    nprobe: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(scores [Q, k], ids [Q, k]) — identical results to the
+    single-device ivf_search over the same index (tests assert this on
+    the virtual mesh)."""
+    nprobe = nprobe or index.nprobe
+    nprobe = min(nprobe, index.centroids.shape[0])
+    s, i = _sharded_ivf_search(
+        mesh, index.centroids, index.buckets, index.bucket_ids,
+        index.tail, index.tail_ids, jnp.asarray(queries), k, nprobe,
+    )
+    return np.asarray(s), np.asarray(i)

@@ -130,3 +130,40 @@ def test_param_validation_and_clamps(rng):
     assert s.shape == (2, 3)
     s2, i2 = ivf_search(index, _mixture(rng, 2, 8), k=3, nprobe=50)
     assert s2.shape == (2, 3)
+
+
+def test_sharded_ivf_matches_single_device(rng):
+    """Cluster-axis sharded IVF over the 8-device mesh returns the same
+    results as the single-device search over the same index."""
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import shard_ivf, sharded_ivf_search
+
+    n, d, k = 3000, 32, 10
+    x = _mixture(rng, n, d, n_modes=24)
+    q = _mixture(rng, 6, d, n_modes=24)
+    index = build_ivf(x, nlist=32, nprobe=6, slack=1.3, seed=5)
+    s1, i1 = ivf_search(index, q, k=k)
+
+    mesh = make_mesh()
+    sharded = shard_ivf(mesh, index)
+    s2, i2 = sharded_ivf_search(mesh, sharded, q, k=k)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+    for r in range(len(q)):
+        assert set(i1[r].tolist()) == set(i2[r].tolist())
+    # and full probe equals the exact oracle through the sharded path too
+    s3, i3 = sharded_ivf_search(mesh, sharded, q, k=k, nprobe=32)
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(x), k)
+    np.testing.assert_allclose(s3, np.asarray(rs), rtol=1e-5)
+    for r in range(len(q)):
+        assert set(i3[r].tolist()) == set(np.asarray(ri)[r].tolist())
+
+
+def test_shard_ivf_divisibility_guard(rng):
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import shard_ivf
+    import pytest as _pytest
+
+    x = _mixture(rng, 500, 8)
+    index = build_ivf(x, nlist=12, nprobe=4)  # 12 % 8 != 0
+    with _pytest.raises(ValueError, match="divide"):
+        shard_ivf(make_mesh(), index)
