@@ -86,6 +86,35 @@ class IVFIndex(NamedTuple):
     tail: jax.Array  # [tail_rows, D] overflow rows (always scanned)
     tail_ids: jax.Array  # [tail_rows] int32; -1 pad
     nprobe: int
+    # int8 buckets only (quantize_ivf): [D] per-dim dequant scale, folded
+    # into the query at search time (index/quantize.py semantics)
+    scale: Optional[jax.Array] = None
+
+
+def quantize_ivf(index: IVFIndex) -> IVFIndex:
+    """int8-quantize an IVF index in place on device: one global per-dim
+    symmetric scale over buckets + tail (folded into the query at search,
+    so scores are the inner products of the dequantized rows at bf16 query
+    precision — same contract as the flat int8 index).  Quarters the
+    bucket HBM vs f32, halves it vs bf16."""
+    if index.scale is not None:
+        return index
+
+    @jax.jit
+    def q8(buckets, tail):
+        amax = jnp.maximum(
+            jnp.abs(buckets.astype(jnp.float32)).max(axis=(0, 1)),
+            jnp.abs(tail.astype(jnp.float32)).max(axis=0),
+        )
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        def enc(x):
+            return jnp.clip(
+                jnp.round(x.astype(jnp.float32) / scale), -127, 127
+            ).astype(jnp.int8)
+        return enc(buckets), enc(tail), scale
+
+    b8, t8, scale = q8(index.buckets, index.tail)
+    return index._replace(buckets=b8, tail=t8, scale=scale)
 
 
 def build_ivf(
@@ -282,12 +311,17 @@ def _ivf_search_one(
     k: int,
     nprobe: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    cent, buckets, bucket_ids, tail, tail_ids = index_arrays
+    cent, buckets, bucket_ids, tail, tail_ids, scale = index_arrays
     nlist, capacity, D = buckets.shape
     qn = q.astype(jnp.float32)
     qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-6)
     _, probe = jax.lax.top_k(cent @ qn, nprobe)  # [nprobe]
-    qb = q.astype(buckets.dtype)
+    if scale is None:
+        qb = q.astype(buckets.dtype)
+        cast = lambda r: r  # noqa: E731
+    else:  # int8 buckets: fold the dequant scale into the query
+        qb = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        cast = lambda r: r.astype(jnp.bfloat16)  # noqa: E731
 
     # loop the probed buckets with dynamic slices: an XLA gather of the
     # same rows runs ~15x slower on TPU (measured 16 ms vs ~1 ms at
@@ -297,14 +331,15 @@ def _ivf_search_one(
         b = jax.lax.dynamic_index_in_dim(buckets, p, axis=0, keepdims=False)
         pid = jax.lax.dynamic_index_in_dim(bucket_ids, p, axis=0, keepdims=False)
         s = jax.lax.dot_general(
-            b, qb, (((1,), (0,)), ((), ())),
+            cast(b), qb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [capacity]
         return s, pid
 
     scores_p, ids_p = jax.lax.map(per_probe, probe)  # [nprobe, capacity]
     tail_scores = jax.lax.dot_general(
-        tail, qb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        cast(tail), qb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     scores = jnp.concatenate([scores_p.reshape(-1), tail_scores])
     ids = jnp.concatenate([ids_p.reshape(-1), tail_ids])
@@ -327,7 +362,7 @@ def ivf_search(
     nprobe = min(nprobe, index.centroids.shape[0])
     arrays = (
         index.centroids, index.buckets, index.bucket_ids,
-        index.tail, index.tail_ids,
+        index.tail, index.tail_ids, index.scale,
     )
     s, i = _ivf_search_batch(arrays, jnp.asarray(queries), k, nprobe)
     return np.asarray(s), np.asarray(i)

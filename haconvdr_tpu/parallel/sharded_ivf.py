@@ -62,6 +62,7 @@ def shard_ivf(mesh: Mesh, index: IVFIndex) -> IVFIndex:
         tail=jax.device_put(index.tail, NamedSharding(fmesh, P("d", None))),
         tail_ids=jax.device_put(index.tail_ids, row_sh),
         nprobe=index.nprobe,
+        scale=None if index.scale is None else jax.device_put(index.scale, rep),
     )
 
 
@@ -76,13 +77,14 @@ def _sharded_ivf_search(
     queries: jax.Array,  # [Q, D] replicated
     k: int,
     nprobe: int,
+    scale: jax.Array = None,  # [D] int8 dequant scale (quantize_ivf)
 ) -> Tuple[jax.Array, jax.Array]:
     fmesh = _flat_mesh(mesh)
     n_shards = fmesh.devices.size
     nlist = buckets.shape[0]
     per_shard = nlist // n_shards
 
-    def local(q_all, cent, b, bi, t, ti):
+    def local(q_all, cent, b, bi, t, ti, *rest):
         shard = jax.lax.axis_index("d")
         lo = shard * per_shard
 
@@ -90,7 +92,12 @@ def _sharded_ivf_search(
             qn = q.astype(jnp.float32)
             qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-6)
             _, probe = jax.lax.top_k(cent @ qn, nprobe)  # global cluster ids
-            qb = q.astype(b.dtype)
+            if rest:  # int8 buckets: fold the dequant scale into the query
+                qb = (q.astype(jnp.float32) * rest[0]).astype(jnp.bfloat16)
+                cast = lambda r: r.astype(jnp.bfloat16)  # noqa: E731
+            else:
+                qb = q.astype(b.dtype)
+                cast = lambda r: r  # noqa: E731
             owned = (probe >= lo) & (probe < lo + per_shard)
             local_idx = jnp.clip(probe - lo, 0, per_shard - 1)
 
@@ -99,7 +106,7 @@ def _sharded_ivf_search(
                 rows = jax.lax.dynamic_index_in_dim(b, p, axis=0, keepdims=False)
                 pid = jax.lax.dynamic_index_in_dim(bi, p, axis=0, keepdims=False)
                 s = jax.lax.dot_general(
-                    rows, qb, (((1,), (0,)), ((), ())),
+                    cast(rows), qb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 # non-owned probes are dummy work on clamped indices:
@@ -108,7 +115,7 @@ def _sharded_ivf_search(
 
             s_p, i_p = jax.lax.map(per_probe, (local_idx, owned))
             t_s = jax.lax.dot_general(
-                t, qb, (((1,), (0,)), ((), ())),
+                cast(t), qb, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             scores = jnp.concatenate([s_p.reshape(-1), t_s])
@@ -126,14 +133,20 @@ def _sharded_ivf_search(
         best_s, pos = jax.lax.top_k(sg, k)
         return best_s, jnp.take_along_axis(ig, pos, axis=1)
 
+    in_specs = (
+        P(), P(), P("d", None, None), P("d", None), P("d", None), P("d")
+    ) + ((P(),) if scale is not None else ())
+    args = (queries, centroids, buckets, bucket_ids, tail, tail_ids) + (
+        (scale,) if scale is not None else ()
+    )
     fn = jax.shard_map(
         local,
         mesh=fmesh,
-        in_specs=(P(), P(), P("d", None, None), P("d", None), P("d", None), P("d")),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, centroids, buckets, bucket_ids, tail, tail_ids)
+    return fn(*args)
 
 
 def sharded_ivf_search(
@@ -151,5 +164,6 @@ def sharded_ivf_search(
     s, i = _sharded_ivf_search(
         mesh, index.centroids, index.buckets, index.bucket_ids,
         index.tail, index.tail_ids, jnp.asarray(queries), k, nprobe,
+        scale=index.scale,
     )
     return np.asarray(s), np.asarray(i)

@@ -167,3 +167,47 @@ def test_shard_ivf_divisibility_guard(rng):
     index = build_ivf(x, nlist=12, nprobe=4)  # 12 % 8 != 0
     with _pytest.raises(ValueError, match="divide"):
         shard_ivf(make_mesh(), index)
+
+
+def test_int8_quantized_ivf(rng):
+    """quantize_ivf: int8 buckets with the query-folded scale must rank
+    like the float index (quantization-level tolerance) and score the
+    true dequantized inner products; works through the sharded path too."""
+    from haconvdr_tpu.index.ivf import quantize_ivf
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import shard_ivf, sharded_ivf_search
+
+    n, d, k = 2000, 32, 10
+    x = _mixture(rng, n, d, n_modes=24)
+    q = _mixture(rng, 6, d, n_modes=24)
+    index = build_ivf(x, nlist=16, nprobe=16, slack=1.2, seed=6)
+    q8 = quantize_ivf(index)
+    assert q8.buckets.dtype == jnp.int8 and q8.scale is not None
+    assert quantize_ivf(q8) is q8  # idempotent
+
+    s_f, i_f = ivf_search(index, q, k=k)
+    s_q, i_q = ivf_search(q8, q, k=k)
+    overlap = np.mean([len(set(i_f[r]) & set(i_q[r])) / k for r in range(6)])
+    assert overlap >= 0.8, overlap
+    np.testing.assert_allclose(s_q, s_f, rtol=0.05, atol=0.05)
+
+    # scores follow the folding contract: int8 rows dotted with the
+    # bf16-rounded folded query
+    flat_ids = np.asarray(q8.bucket_ids).reshape(-1)
+    qf = np.asarray(
+        jnp.asarray(q * np.asarray(q8.scale)[None, :], jnp.bfloat16), np.float32
+    )
+    r, c = 0, 0
+    pos = np.flatnonzero(flat_ids == i_q[r][c])
+    if len(pos):  # the hit may also live in the tail
+        ref = float(
+            np.asarray(q8.buckets, np.float32).reshape(-1, d)[pos[0]] @ qf[r]
+        )
+        np.testing.assert_allclose(s_q[r][c], ref, rtol=1e-3)
+
+    mesh = make_mesh()
+    sh = shard_ivf(mesh, q8)
+    s_s, i_s = sharded_ivf_search(mesh, sh, q, k=k)
+    np.testing.assert_allclose(s_s, s_q, rtol=1e-5)
+    for r in range(6):
+        assert set(i_s[r].tolist()) == set(i_q[r].tolist())
