@@ -191,6 +191,10 @@ def bench_ivf(jax, jnp):
         x, nlist=4096, nprobe=64, slack=1.3, tail_frac=0.08, seed=0
     )
     del x
+    if os.environ.get("BENCH_INT8"):  # composable: quantized IVF buckets
+        from haconvdr_tpu.index.ivf import quantize_ivf
+
+        index = quantize_ivf(index)
     s, i = ivf_search(index, np.asarray(q, np.float32), k=TOP_K)
     recall = float(
         np.mean([len(set(i[r]) & set(gt_i[r])) / TOP_K for r in range(NQ)])
