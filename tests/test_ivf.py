@@ -211,3 +211,22 @@ def test_int8_quantized_ivf(rng):
     np.testing.assert_allclose(s_s, s_q, rtol=1e-5)
     for r in range(6):
         assert set(i_s[r].tolist()) == set(i_q[r].tolist())
+
+
+def test_save_load_roundtrip(rng, tmp_path):
+    from haconvdr_tpu.index.ivf import load_ivf, quantize_ivf, save_ivf
+
+    x = _mixture(rng, 800, 16).astype(np.float32)
+    q = _mixture(rng, 3, 16)
+    for make in (lambda: build_ivf(x, nlist=8, nprobe=4, dtype="bfloat16"),
+                 lambda: quantize_ivf(build_ivf(x, nlist=8, nprobe=4))):
+        index = make()
+        d = tmp_path / ("i8" if index.scale is not None else "bf16")
+        save_ivf(index, str(d))
+        back = load_ivf(str(d))
+        assert back.nprobe == index.nprobe
+        assert back.buckets.dtype == index.buckets.dtype
+        s1, i1 = ivf_search(index, q, k=5)
+        s2, i2 = ivf_search(back, q, k=5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(s1, s2)
