@@ -99,6 +99,7 @@ def quantize_ivf(index: IVFIndex) -> IVFIndex:
     bucket HBM vs f32, halves it vs bf16."""
     if index.scale is not None:
         return index
+    from haconvdr_tpu.index.quantize import encode_int8, scale_from_amax
 
     @jax.jit
     def q8(buckets, tail):
@@ -106,12 +107,8 @@ def quantize_ivf(index: IVFIndex) -> IVFIndex:
             jnp.abs(buckets.astype(jnp.float32)).max(axis=(0, 1)),
             jnp.abs(tail.astype(jnp.float32)).max(axis=0),
         )
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        def enc(x):
-            return jnp.clip(
-                jnp.round(x.astype(jnp.float32) / scale), -127, 127
-            ).astype(jnp.int8)
-        return enc(buckets), enc(tail), scale
+        scale = scale_from_amax(amax)
+        return encode_int8(buckets, scale), encode_int8(tail, scale), scale
 
     b8, t8, scale = q8(index.buckets, index.tail)
     return index._replace(buckets=b8, tail=t8, scale=scale)
@@ -387,8 +384,13 @@ def save_ivf(index: IVFIndex, dir_path: str) -> None:
     os.makedirs(dir_path, exist_ok=True)
     for name in ("centroids", "buckets", "bucket_ids", "tail", "tail_ids"):
         np.save(os.path.join(dir_path, name + ".npy"), np.asarray(getattr(index, name)))
+    scale_path = os.path.join(dir_path, "scale.npy")
     if index.scale is not None:
-        np.save(os.path.join(dir_path, "scale.npy"), np.asarray(index.scale))
+        np.save(scale_path, np.asarray(index.scale))
+    elif os.path.exists(scale_path):
+        # a float index re-saved over a quantized one must not leave the
+        # stale scale behind (load would fold it into unquantized scores)
+        os.remove(scale_path)
     with open(os.path.join(dir_path, "ivf_meta.json"), "w") as f:
         json.dump({"nprobe": index.nprobe, "version": 1}, f)
 

@@ -54,3 +54,19 @@ def quantize_int8(emb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def dequantize_int8(q: np.ndarray, scale: np.ndarray) -> np.ndarray:
     """Exact float32 reconstruction the int8 search path scores against."""
     return q.astype(np.float32) * np.asarray(scale, np.float32)
+
+
+# device-side (jax) pieces of the same scheme, shared by the IVF
+# quantizer so the formula lives in exactly one place
+def scale_from_amax(amax):
+    import jax.numpy as jnp
+
+    return jnp.where(amax > 0, amax / 127.0, 1.0)
+
+
+def encode_int8(x, scale):
+    import jax.numpy as jnp
+
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)

@@ -47,11 +47,21 @@ def shard_ivf(mesh: Mesh, index: IVFIndex) -> IVFIndex:
     fmesh = _flat_mesh(mesh)
     n = fmesh.devices.size
     nlist = index.buckets.shape[0]
-    tail_rows = index.tail.shape[0]
-    if nlist % n or tail_rows % n:
+    if nlist % n:
         raise ValueError(
-            f"nlist ({nlist}) and tail rows ({tail_rows}) must divide the "
-            f"shard count ({n})"
+            f"nlist ({nlist}) must divide the shard count ({n}); build with "
+            f"a matching nlist"
+        )
+    tail_rows = index.tail.shape[0]
+    pad = -tail_rows % n
+    if pad:  # pad the tail with -1-id rows so every shard gets a slice
+        index = index._replace(
+            tail=jnp.concatenate(
+                [index.tail, jnp.zeros((pad, index.tail.shape[1]), index.tail.dtype)]
+            ),
+            tail_ids=jnp.concatenate(
+                [index.tail_ids, jnp.full((pad,), -1, jnp.int32)]
+            ),
         )
     rep = NamedSharding(fmesh, P())
     row_sh = NamedSharding(fmesh, P("d"))

@@ -192,18 +192,23 @@ def test_int8_quantized_ivf(rng):
     np.testing.assert_allclose(s_q, s_f, rtol=0.05, atol=0.05)
 
     # scores follow the folding contract: int8 rows dotted with the
-    # bf16-rounded folded query
-    flat_ids = np.asarray(q8.bucket_ids).reshape(-1)
+    # bf16-rounded folded query (checked wherever the hit lives —
+    # bucket or tail — so the assertion always runs)
+    all_rows = np.concatenate(
+        [np.asarray(q8.buckets, np.float32).reshape(-1, d),
+         np.asarray(q8.tail, np.float32)]
+    )
+    all_ids = np.concatenate(
+        [np.asarray(q8.bucket_ids).reshape(-1), np.asarray(q8.tail_ids)]
+    )
     qf = np.asarray(
         jnp.asarray(q * np.asarray(q8.scale)[None, :], jnp.bfloat16), np.float32
     )
     r, c = 0, 0
-    pos = np.flatnonzero(flat_ids == i_q[r][c])
-    if len(pos):  # the hit may also live in the tail
-        ref = float(
-            np.asarray(q8.buckets, np.float32).reshape(-1, d)[pos[0]] @ qf[r]
-        )
-        np.testing.assert_allclose(s_q[r][c], ref, rtol=1e-3)
+    pos = np.flatnonzero(all_ids == i_q[r][c])
+    assert len(pos) == 1
+    ref = float(all_rows[pos[0]] @ qf[r])
+    np.testing.assert_allclose(s_q[r][c], ref, rtol=1e-3)
 
     mesh = make_mesh()
     sh = shard_ivf(mesh, q8)
@@ -230,3 +235,38 @@ def test_save_load_roundtrip(rng, tmp_path):
         s2, i2 = ivf_search(back, q, k=5)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_array_equal(s1, s2)
+
+
+def test_save_over_quantized_removes_stale_scale(rng, tmp_path):
+    """Re-saving a float index over a quantized one must not leave the
+    old scale sidecar behind (a loaded float index with a scale attached
+    silently corrupts every score)."""
+    from haconvdr_tpu.index.ivf import load_ivf, quantize_ivf, save_ivf
+
+    x = _mixture(rng, 400, 8)
+    d = str(tmp_path / "idx")
+    save_ivf(quantize_ivf(build_ivf(x, nlist=4, nprobe=4)), d)
+    save_ivf(build_ivf(x, nlist=4, nprobe=4), d)
+    back = load_ivf(d)
+    assert back.scale is None and back.buckets.dtype != jnp.int8
+
+
+def test_shard_ivf_pads_tail_to_shard_count(rng):
+    """A tail whose row count doesn't divide the mesh is padded with
+    -1-id rows instead of raising; results unchanged."""
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import shard_ivf, sharded_ivf_search
+
+    x = _mixture(rng, 900, 16)
+    q = _mixture(rng, 3, 16)
+    index = build_ivf(x, nlist=16, nprobe=16, slack=1.05)
+    short = index._replace(
+        tail=index.tail[: index.tail.shape[0] - 4],
+        tail_ids=index.tail_ids[: index.tail.shape[0] - 4],
+    )
+    mesh = make_mesh()
+    sh = shard_ivf(mesh, short)
+    assert sh.tail.shape[0] % 8 == 0
+    s, i = sharded_ivf_search(mesh, sh, q, k=5)
+    s1, i1 = ivf_search(short, q, k=5)
+    np.testing.assert_allclose(s, s1, rtol=1e-5)
