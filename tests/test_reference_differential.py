@@ -506,3 +506,56 @@ def test_losses_match_reference(ref_train_module):
     ref = float(m.cal_kd_loss(tq, tpos))
     ours = float(kd_loss(jnp.asarray(q), jnp.asarray(pos)))
     assert abs(ref - ours) < 1e-5, (ref, ours)
+
+
+def test_prj_probe_generation_matches_reference(tmp_path):
+    """L1 differential: the reference's create_label_rel_turn
+    (/root/reference/preprocess/PRJ_topiocqa.py:238-300, a pure file
+    transform) vs mine/prj.create_label_rel_turn — identical probe
+    records for identical inputs."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/PRJ_topiocqa.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_prj", path)
+    ref_prj = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_prj"] = ref_prj
+    spec.loader.exec_module(ref_prj)
+
+    recs = []
+    for conv in (1, 2):
+        for turn in (1, 2, 3):
+            recs.append({
+                "id": f"{conv}-{turn}",
+                "conv_id": conv, "turn_id": turn,
+                "history_query": [f"q{conv}-{t}" for t in range(1, turn)],
+                "history_rewrite": [f"r{conv}-{t}" for t in range(1, turn)],
+                "history_answer": [f"a{conv}-{t}" for t in range(1, turn)],
+                "last_response": f"resp{conv}-{turn}",
+                "topic": "T", "sub_topic": "S",
+                "query": f"q{conv}-{turn}", "rewrite": f"r{conv}-{turn}",
+                "answer": f"a{conv}-{turn}",
+                "pos_docs": [f"doc{conv}{turn}"], "pos_docs_id": [conv * 10 + turn],
+            })
+    inp = tmp_path / "in.jsonl"
+    with open(inp, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    out = tmp_path / "ref_out.jsonl"
+    ref_prj.create_label_rel_turn(str(inp), str(out))
+    ref_probes = [json.loads(l) for l in open(out)]
+
+    from haconvdr_tpu.mine.prj import create_label_rel_turn
+
+    ours = create_label_rel_turn(recs)
+    assert len(ours) == len(ref_probes)
+    ref_by_id = {p["id"]: p for p in ref_probes}
+    for p in ours:
+        ref_p = ref_by_id[p["id"]]
+        for key in ref_p:
+            if key in p:
+                assert p[key] == ref_p[key], (p["id"], key)
+        # the fields retrieval consumes must always be present and equal
+        for key in ("query", "query_pair", "pos_docs_id"):
+            assert p[key] == ref_p[key], (p["id"], key)
