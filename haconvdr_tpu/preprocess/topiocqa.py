@@ -63,6 +63,11 @@ def _gen_split(
 
         if int(line["conv_id"]) != last_conv_id:
             context_pos_docs_pids = set()
+            # documented divergence: the reference's DEV loop forgets this
+            # reset (preprocess_topicoqa.py:108-118 vs the train loop's
+            # :73-76), leaking the previous conversation's last response
+            # into the next conversation's first dev turn; we reset in
+            # both splits (pinned by tests/test_reference_differential.py)
             last_response = ""
 
         prepos_neg_docs_pids = list(context_pos_docs_pids - set(pos_docs_pids))

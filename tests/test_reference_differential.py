@@ -559,3 +559,96 @@ def test_prj_probe_generation_matches_reference(tmp_path):
         # the fields retrieval consumes must always be present and equal
         for key in ("query", "query_pair", "pos_docs_id"):
             assert p[key] == ref_p[key], (p["id"], key)
+
+
+def test_l0_preprocess_matches_reference(tmp_path, monkeypatch):
+    """L0 differential: gen_topiocqa_qrel + gen_train_test_files vs the
+    reference's own implementations
+    (/root/reference/preprocess/preprocess_topicoqa.py:7-161) on a
+    fabricated gold dump.  All deterministic fields must match exactly;
+    the random negative is compared semantically (the reference's module
+    random.choice is pinned to seq[0] so its 25.7M-pid draw stays inside
+    the tiny fixture collection).  One DOCUMENTED divergence is pinned:
+    the reference's dev loop never resets last_response at a conversation
+    boundary (:108-118 lacks the train loop's reset), leaking the
+    previous conversation's response into the next conversation's first
+    turn; the rebuild resets it."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/preprocess_topicoqa.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_pre", path)
+    ref_pre = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_pre"] = ref_pre
+    spec.loader.exec_module(ref_pre)
+
+    def turn(conv, t, pid, q):
+        return {
+            "conv_id": conv, "turn_id": t, "question": q,
+            "answers": [f"answer {conv}-{t}"],
+            "positive_ctxs": [{
+                "passage_id": str(pid),
+                "title": f"Title{pid} [SEP] Sub{pid}",
+                "text": f"passage text {pid}  ",
+            }],
+        }
+
+    train = [turn(1, 1, 1, "first q"), turn(1, 2, 2, "second q"),
+             turn(2, 1, 3, "other conv q"), turn(2, 2, 4, "other conv q2")]
+    dev = [turn(5, 1, 5, "dev q1"), turn(5, 2, 6, "dev q2"),
+           turn(6, 1, 2, "dev conv2 q1")]
+    (tmp_path / "gold_train.json").write_text(json.dumps(train))
+    (tmp_path / "gold_dev.json").write_text(json.dumps(dev))
+    with open(tmp_path / "collection.tsv", "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for pid in range(0, 8):  # includes pid 0 for the pinned random draw
+            f.write(f"{pid}\tpassage text {pid}\tTitle{pid} [SEP] Sub{pid}\n")
+
+    # pin the reference's random.choice (module-level) to the first element
+    monkeypatch.setattr(ref_pre.random, "choice", lambda seq: seq[0])
+    ref_train = tmp_path / "ref_train.json"
+    ref_test = tmp_path / "ref_test.json"
+    ref_pre.gen_train_test_files(
+        str(tmp_path / "gold_train.json"), str(tmp_path / "gold_dev.json"),
+        str(ref_train), str(ref_test), str(tmp_path / "collection.tsv"),
+    )
+    ref_qrel = tmp_path / "ref_qrel.trec"
+    ref_pre.gen_topiocqa_qrel(str(tmp_path / "gold_dev.json"), str(ref_qrel))
+
+    from haconvdr_tpu.preprocess import topiocqa as ours
+
+    our_train = tmp_path / "our_train.json"
+    our_test = tmp_path / "our_test.json"
+    ours.gen_train_test_files(
+        str(tmp_path / "gold_train.json"), str(tmp_path / "gold_dev.json"),
+        str(our_train), str(our_test),
+        collection_file_path=str(tmp_path / "collection.tsv"),
+    )
+    our_qrel = tmp_path / "our_qrel.trec"
+    ours.gen_topiocqa_qrel(str(tmp_path / "gold_dev.json"), str(our_qrel))
+
+    assert open(our_qrel).read() == open(ref_qrel).read()
+
+    for ref_path, our_path, split in (
+        (ref_train, our_train, "train"), (ref_test, our_test, "test"),
+    ):
+        ref_recs = [json.loads(l) for l in open(ref_path)]
+        our_recs = [json.loads(l) for l in open(our_path)]
+        assert len(ref_recs) == len(our_recs)
+        for i, (a, b) in enumerate(zip(ref_recs, our_recs)):
+            det = ["sample_id", "cur_utt_text", "pos_docs", "pos_docs_pids"]
+            is_dev_conv_boundary = split == "test" and b["sample_id"].endswith("_6_1")
+            if not is_dev_conv_boundary:
+                det.append("last_response")
+            else:
+                # the pinned divergence: reference leaks, rebuild resets
+                assert a["last_response"] != "" and b["last_response"] == ""
+            for key in det:
+                assert a[key] == b[key], (split, i, key)
+            assert sorted(a["prepos_neg_docs_pids"]) == sorted(
+                b["prepos_neg_docs_pids"]
+            )
+            # negative: when prepos negatives exist both must draw from them
+            if a["prepos_neg_docs_pids"]:
+                assert b["neg_docs_pids"][0] in a["prepos_neg_docs_pids"]
