@@ -123,7 +123,12 @@ def merge_rel_label_info(rel_file: str, orig_file: str, new_file: str) -> None:
     records = read_jsonl_list(orig_file)
     out = []
     for i, rec in enumerate(records):
-        conv_id, turn_id = rec["sample_id"].split("_")[-2:]
+        sid = rec["sample_id"]
+        if "_" in sid:  # 'TopiOCQA-Train_conv_turn' layout
+            conv_id, turn_id = sid.split("_")[-2:]
+        else:  # 'conv-turn' layout (the PRJ-stage files the reference
+            # actually runs this on, combine_topiocqa_data output)
+            conv_id, turn_id = sid.split("-")[0], sid.split("-")[-1]
         if turn_id != "1":
             # positional alignment with a conv/turn sanity check (the
             # reference's string-format check at :175-176 can never match
@@ -184,11 +189,13 @@ def reformulate_dataset_info(input_file: str, output_file: str) -> None:
     vs prepos hard negatives (rel_label 0) and assemble the final
     train_with_info layout (preprocess/preprocess_topicoqa.py:266-313).
 
-    Indexing note: the reference walks ``data[i - idx]`` for label idx —
-    label k refers to history turn k+1, stored at record i-(len(labels)-k).
-    The reference's ``i - idx`` reads the WRONG records (turns newest-first
-    offset by one, including the current turn at idx=0); we keep its
-    behavior switchable but default to the correct history indexing.
+    Indexing note (documented divergence): the reference walks
+    ``data[i - idx]`` for label idx, which reads the WRONG records —
+    newest-first offset by one, including the CURRENT turn at idx=0.
+    Label k refers to history turn k+1, stored at record
+    ``i - (len(labels) - k)``; we use that correct indexing (the same
+    convention the train dataset reader applies, src/data.py:284-290).
+    The divergence is pinned by tests/test_reference_differential.py.
     """
     records = read_jsonl_list(input_file)
     out = []

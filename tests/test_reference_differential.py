@@ -652,3 +652,91 @@ def test_l0_preprocess_matches_reference(tmp_path, monkeypatch):
             # negative: when prepos negatives exist both must draw from them
             if a["prepos_neg_docs_pids"]:
                 assert b["neg_docs_pids"][0] in a["prepos_neg_docs_pids"]
+
+
+def test_l0_merge_and_reformulate_match_reference(tmp_path):
+    """L0 differential for the enrichment steps that assemble
+    train_with_info.json: merge_rel_label_info and merge_bm25_neg_info
+    must match the reference byte-for-byte
+    (preprocess_topicoqa.py:163-211); reformulate_dataset_info pins the
+    reference's known indexing defect (``data[i - idx]`` includes the
+    CURRENT turn at idx=0; intended mapping is i-(len-idx), the same
+    convention the train reader uses, src/data.py:284-290)."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/preprocess_topicoqa.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_pre2", path)
+    ref_pre = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_pre2"] = ref_pre
+    spec.loader.exec_module(ref_pre)
+
+    from haconvdr_tpu.preprocess import topiocqa as ours
+
+    # PRJ-stage records use 'conv-turn' sample ids (combine_topiocqa_data)
+    recs = [
+        {"sample_id": "1-1", "cur_utt_text": "q11", "last_response": "",
+         "pos_docs": ["D11"], "pos_docs_pids": [11],
+         "prepos_neg_docs_pids": []},
+        {"sample_id": "1-2", "cur_utt_text": "q12", "last_response": "D11",
+         "pos_docs": ["D12"], "pos_docs_pids": [12],
+         "prepos_neg_docs_pids": [11]},
+        {"sample_id": "1-3", "cur_utt_text": "q13", "last_response": "D12",
+         "pos_docs": ["D13"], "pos_docs_pids": [13],
+         "prepos_neg_docs_pids": [11, 12]},
+    ]
+    orig = tmp_path / "orig.json"
+    with open(orig, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    rel = tmp_path / "rel.json"
+    with open(rel, "w") as f:
+        for r, label in zip(recs, ([], [1], [0, 1])):
+            f.write(json.dumps({"id": r["sample_id"], "rel_label": label}) + "\n")
+
+    ref_out = tmp_path / "ref_rel.json"
+    our_out = tmp_path / "our_rel.json"
+    ref_pre.merge_rel_label_info(str(rel), str(orig), str(ref_out))
+    ours.merge_rel_label_info(str(rel), str(orig), str(our_out))
+    assert [json.loads(l) for l in open(ref_out)] == [
+        json.loads(l) for l in open(our_out)
+    ]
+
+    run = tmp_path / "bm25.trec"
+    with open(run, "w") as f:
+        for r in recs:
+            for rank, pid in enumerate([r["pos_docs_pids"][0], 90, 91]):
+                f.write(f"{r['sample_id']} Q0 {pid} {rank+1} {10-rank} bm25\n")
+    ref_out2 = tmp_path / "ref_neg.json"
+    our_out2 = tmp_path / "our_neg.json"
+    ref_pre.merge_bm25_neg_info(str(run), str(ref_out), str(ref_out2))
+    ours.merge_bm25_neg_info(str(run), str(our_out), str(our_out2))
+    ref_neg = [json.loads(l) for l in open(ref_out2)]
+    our_neg = [json.loads(l) for l in open(our_out2)]
+    assert ref_neg == our_neg
+    assert ref_neg[0]["bm25_hard_neg_docs_pids"] == [90, 91]  # pos filtered
+
+    # reformulate: add the doc-content field both variants read
+    enriched = tmp_path / "enriched.json"
+    with open(enriched, "w") as f:
+        for r in ref_neg:
+            r = dict(r)
+            r["bm25_hard_neg_docs"] = [f"N{p}" for p in r["bm25_hard_neg_docs_pids"]]
+            f.write(json.dumps(r) + "\n")
+    ref_final = tmp_path / "ref_final.json"
+    our_final = tmp_path / "our_final.json"
+    ref_pre.reformulate_dataset_info(str(enriched), str(ref_final), str(enriched))
+    ours.reformulate_dataset_info(str(enriched), str(our_final))
+    ref_f = [json.loads(l) for l in open(ref_final)]
+    our_f = [json.loads(l) for l in open(our_final)]
+    for a, b in zip(ref_f, our_f):
+        for key in ("sample_id", "cur_utt_text", "last_response", "pos_docs",
+                    "pos_docs_pids", "bm25_hard_neg_docs",
+                    "bm25_hard_neg_docs_pids", "rel_label"):
+            assert a[key] == b[key], key
+    # the pinned indexing divergence on record '1-2' (rel_label [1]):
+    # reference reads data[i - 0] = the CURRENT record's positives; the
+    # rebuild reads the history turn (record '1-1')
+    assert ref_f[1]["pseudo_prepos_docs_pids"] == [12]  # self-reference
+    assert our_f[1]["pseudo_prepos_docs_pids"] == [11]  # true history turn
