@@ -740,3 +740,52 @@ def test_l0_merge_and_reformulate_match_reference(tmp_path):
     # rebuild reads the history turn (record '1-1')
     assert ref_f[1]["pseudo_prepos_docs_pids"] == [12]  # self-reference
     assert our_f[1]["pseudo_prepos_docs_pids"] == [11]  # true history turn
+
+
+def test_prf_selection_matches_reference(tmp_path):
+    """PRF selection differential: select_pseudo_relevant_feedback_passage
+    vs the reference's (preprocess_topicoqa.py:315-375) on fabricated
+    aligned BM25/ANCE runs covering the three selection regimes (disjoint
+    runs, heavy overlap, partial overlap)."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/preprocess_topicoqa.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_pre3", path)
+    ref_pre = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_pre3"] = ref_pre
+    spec.loader.exec_module(ref_pre)
+
+    rng = np.random.RandomState(5)
+    bm25_path = tmp_path / "bm25.trec"
+    ance_path = tmp_path / "ance.trec"
+    with open(bm25_path, "w") as fb, open(ance_path, "w") as fa:
+        # q1: disjoint runs; q2: identical runs; q3: partial overlap
+        for qid, (b_base, a_base, overlap) in {
+            "q1": (1000, 2000, 0.0), "q2": (3000, 3000, 1.0),
+            "q3": (4000, 5000, 0.4),
+        }.items():
+            b_pids = list(range(b_base, b_base + 100))
+            a_pids = list(range(a_base, a_base + 100))
+            if 0 < overlap < 1:
+                take = int(100 * overlap)
+                mix = rng.permutation(100)[:take]
+                for j, m in enumerate(mix):
+                    a_pids[m] = b_pids[(m * 7) % 100]
+            for r in range(100):
+                fb.write(f"{qid} Q0 {b_pids[r]} {r+1} {200-r} bm25\n")
+                fa.write(f"{qid} Q0 {a_pids[r]} {r+1} {300-r} ance\n")
+
+    ref_pos, ref_neg = ref_pre.select_pseudo_relevant_feedback_passage(
+        str(bm25_path), str(ance_path), neg_ratio=3
+    )
+    from haconvdr_tpu.preprocess.topiocqa import (
+        select_pseudo_relevant_feedback_passage,
+    )
+
+    our_pos, our_neg = select_pseudo_relevant_feedback_passage(
+        str(bm25_path), str(ance_path), neg_ratio=3
+    )
+    assert ref_pos == our_pos
+    assert ref_neg == our_neg
