@@ -789,3 +789,59 @@ def test_prf_selection_matches_reference(tmp_path):
     )
     assert ref_pos == our_pos
     assert ref_neg == our_neg
+
+
+def test_prf_merge_matches_reference(tmp_path):
+    """PRF merge differential: merge_pseudo_relevant_feedback vs the
+    reference's (preprocess_topicoqa.py:377-422).  The reference reads the
+    undefined name ``collection_file_path`` instead of its parameter
+    (documented defect) — set as a module global here so its own code
+    path executes; outputs must then match byte-for-byte."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/preprocess_topicoqa.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_pre4", path)
+    ref_pre = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_pre4"] = ref_pre
+    spec.loader.exec_module(ref_pre)
+
+    # runs: 100 aligned ranks per qid, partially overlapping
+    qids = ["7-2", "7-3"]
+    bm25_path = tmp_path / "bm25.trec"
+    ance_path = tmp_path / "ance.trec"
+    all_pids = set()
+    with open(bm25_path, "w") as fb, open(ance_path, "w") as fa:
+        for base, qid in zip((1000, 3000), qids):
+            b_pids = list(range(base, base + 100))
+            a_pids = list(range(base + 50, base + 150))  # 50% overlap
+            all_pids |= set(b_pids) | set(a_pids)
+            for r in range(100):
+                fb.write(f"{qid} Q0 {b_pids[r]} {r+1} {200-r} bm25\n")
+                fa.write(f"{qid} Q0 {a_pids[r]} {r+1} {300-r} ance\n")
+    collection = tmp_path / "collection.tsv"
+    with open(collection, "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for pid in sorted(all_pids):
+            f.write(f"{pid}\ttext {pid}\tT{pid} [SEP] S{pid}\n")
+    queries = tmp_path / "queries.json"
+    with open(queries, "w") as f:
+        for qid in qids:
+            f.write(json.dumps({"sample_id": qid, "cur_utt_text": "q"}) + "\n")
+
+    ref_out = tmp_path / "ref_prf.json"
+    ref_pre.collection_file_path = str(collection)  # the reference's bug
+    ref_pre.merge_pseudo_relevant_feedback(
+        str(queries), str(ance_path), str(bm25_path), str(collection), str(ref_out)
+    )
+
+    from haconvdr_tpu.preprocess.topiocqa import merge_pseudo_relevant_feedback
+
+    our_out = tmp_path / "our_prf.json"
+    merge_pseudo_relevant_feedback(
+        str(queries), str(ance_path), str(bm25_path), str(collection), str(our_out)
+    )
+    ref_recs = [json.loads(l) for l in open(ref_out)]
+    our_recs = [json.loads(l) for l in open(our_out)]
+    assert ref_recs == our_recs
