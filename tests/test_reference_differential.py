@@ -845,3 +845,49 @@ def test_prf_merge_matches_reference(tmp_path):
     ref_recs = [json.loads(l) for l in open(ref_out)]
     our_recs = [json.loads(l) for l in open(our_out)]
     assert ref_recs == our_recs
+
+
+def test_prj_token_probes_and_gold_trec_match_reference(tmp_path):
+    """Token-level probe generation (create_label_rel_token,
+    /root/reference/preprocess/PRJ_topiocqa.py:302-353) and the gold->trec
+    converter (:455-468) vs the reference's own file transforms."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/PRJ_topiocqa.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_prj2", path)
+    ref_prj = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_prj2"] = ref_prj
+    spec.loader.exec_module(ref_prj)
+
+    recs = [
+        {"id": "3-1", "conv_id": 3, "turn_id": 1, "history_query": [],
+         "history_answer": [], "query": "first", "answer": "a1",
+         "pos_docs_id": [31]},
+        {"id": "3-2", "conv_id": 3, "turn_id": 2,
+         "history_query": ["what is  jax", "who wrote it"],
+         "history_answer": ["a lib", "google"],
+         "query": "second q", "answer": "a2", "pos_docs_id": [32]},
+    ]
+    inp = tmp_path / "in.jsonl"
+    with open(inp, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    ref_out = tmp_path / "ref_tok.jsonl"
+    ref_prj.create_label_rel_token(str(inp), str(ref_out))
+    ref_probes = [json.loads(l) for l in open(ref_out)]
+
+    from haconvdr_tpu.mine.prj import convert_gold_to_trec, create_label_rel_token
+
+    ours = create_label_rel_token(recs)
+    assert len(ours) == len(ref_probes)
+    for a, b in zip(ref_probes, ours):
+        for key in a:
+            assert a[key] == b[key], (a["id"], key)
+
+    trec_out = tmp_path / "ref_gold.trec"
+    ref_prj.convert_gold_to_trec(str(ref_out), str(trec_out))
+    ref_lines = open(trec_out).read().splitlines()
+    # the reference writes 'id Q0 pid 1'; ours emits the same lines
+    assert convert_gold_to_trec(ref_probes) == ref_lines
