@@ -891,3 +891,38 @@ def test_prj_token_probes_and_gold_trec_match_reference(tmp_path):
     ref_lines = open(trec_out).read().splitlines()
     # the reference writes 'id Q0 pid 1'; ours emits the same lines
     assert convert_gold_to_trec(ref_probes) == ref_lines
+
+
+@pytest.mark.parametrize("mode", ["topic", "sub_topic"])
+def test_topic_oracle_labels_match_reference(tmp_path, mode):
+    """Topic-oracle rel labels (create_topic_rel_turn,
+    /root/reference/preprocess/PRJ_topiocqa.py:355-418) vs the rebuild."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/PRJ_topiocqa.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_prj3", path)
+    ref_prj = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_prj3"] = ref_prj
+    spec.loader.exec_module(ref_prj)
+
+    def rec(conv, t, topic, sub):
+        return {"id": f"{conv}-{t}", "conv_id": conv, "turn_id": t,
+                "history_query": [], "topic": topic, "sub_topic": sub,
+                "query": f"q{conv}{t}"}
+
+    recs = [rec(1, 1, "A", "a1"), rec(1, 2, "A", "a2"), rec(1, 3, "B", "a2"),
+            rec(2, 1, "C", "c"), rec(2, 2, "C", "c")]
+    inp = tmp_path / "in.jsonl"
+    with open(inp, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    out = tmp_path / "ref.jsonl"
+    ref_prj.create_topic_rel_turn(str(inp), str(out), mode)
+    ref_labels = [json.loads(l) for l in open(out)]
+
+    from haconvdr_tpu.mine.prj import create_topic_rel_turn
+
+    ours = create_topic_rel_turn(recs, mode=mode)
+    assert ours == ref_labels
