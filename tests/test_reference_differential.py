@@ -926,3 +926,46 @@ def test_topic_oracle_labels_match_reference(tmp_path, mode):
 
     ours = create_topic_rel_turn(recs, mode=mode)
     assert ours == ref_labels
+
+
+def test_prj_triples_match_reference(tmp_path):
+    """Classifier-training triples (create_PRJ,
+    /root/reference/preprocess/PRJ_topiocqa.py:470-504) vs
+    mine/prj.create_prj_triples."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/PRJ_topiocqa.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_prj4", path)
+    ref_prj = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_prj4"] = ref_prj
+    spec.loader.exec_module(ref_prj)
+
+    labels = [
+        {"id": "4-1", "conv_id": 4, "turn_id": 1, "rel_label": []},
+        {"id": "4-2", "conv_id": 4, "turn_id": 2, "rel_label": [1]},
+        {"id": "4-3", "conv_id": 4, "turn_id": 3, "rel_label": [0, 1]},
+    ]
+    queries = [
+        {"query": "q1", "history_query": [], "last_response": ""},
+        {"query": "q2", "history_query": ["q1"], "last_response": "r1"},
+        {"query": "q3", "history_query": ["q1", "q2"], "last_response": "r2"},
+    ]
+    lf = tmp_path / "labels.jsonl"
+    qf = tmp_path / "queries.jsonl"
+    for p, rows in ((lf, labels), (qf, queries)):
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    out = tmp_path / "ref_triples.jsonl"
+    ref_prj.create_PRJ(str(lf), str(qf), str(out))
+    ref_triples = [json.loads(l) for l in open(out)]
+
+    from haconvdr_tpu.mine.prj import create_prj_triples
+
+    ours = create_prj_triples(labels, queries)
+    assert len(ours) == len(ref_triples)
+    for a, b in zip(ref_triples, ours):
+        for key in a:
+            assert a[key] == b[key], (a["id"], key)
