@@ -969,3 +969,44 @@ def test_prj_triples_match_reference(tmp_path):
     for a, b in zip(ref_triples, ours):
         for key in a:
             assert a[key] == b[key], (a["id"], key)
+
+
+def test_prj_qrecc_probes_match_reference(tmp_path):
+    """QReCC probe generation differential (create_label_rel_turn,
+    /root/reference/preprocess/PRJ_qrecc.py:17-66): empty-positive turns
+    skipped, 'conv-turn' id parsing, last_response carried."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/PRJ_qrecc.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("_ref_prjq", path)
+    ref_prj = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_prjq"] = ref_prj
+    spec.loader.exec_module(ref_prj)
+
+    recs = [
+        {"sample_id": "9-1", "context_queries": [], "query": "q1",
+         "oracle_query": "o1", "last_response": "", "pos_docs": [91]},
+        {"sample_id": "9-2", "context_queries": ["q1"], "query": "q2",
+         "oracle_query": "o2", "last_response": "r1", "pos_docs": [92]},
+        {"sample_id": "9-3", "context_queries": ["q1", "q2"], "query": "q3",
+         "oracle_query": "o3", "last_response": "r2", "pos_docs": []},  # skipped
+        {"sample_id": "9-4", "context_queries": ["q1", "q2", "q3"], "query": "q4",
+         "oracle_query": "o4", "last_response": "r3", "pos_docs": [94]},
+    ]
+    inp = tmp_path / "in.jsonl"
+    with open(inp, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    out = tmp_path / "ref.jsonl"
+    ref_prj.create_label_rel_turn(str(inp), str(out))
+    ref_probes = [json.loads(l) for l in open(out)]
+
+    from haconvdr_tpu.mine.prj import create_label_rel_turn
+
+    ours = create_label_rel_turn(recs, dataset="qrecc")
+    assert len(ours) == len(ref_probes)
+    for a, b in zip(ref_probes, ours):
+        for key in a:
+            assert a[key] == b[key], (a["id"], key)
