@@ -1010,3 +1010,46 @@ def test_prj_qrecc_probes_match_reference(tmp_path):
     for a, b in zip(ref_probes, ours):
         for key in a:
             assert a[key] == b[key], (a["id"], key)
+
+
+def test_improve_judge_matches_reference(tmp_path):
+    """The PRJ labeling rule itself (improve_judge,
+    /root/reference/src/test_PRJ_topiocqa.py:443-472) — extracted via AST
+    (its module imports faiss, not installed) and run against the rebuild
+    on identical probe scores.  This is the MRR-diff rule that makes the
+    pipeline 'history-aware'."""
+    import ast as ast_mod
+
+    path = os.path.join(REF, "test_PRJ_topiocqa.py")
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    tree = ast_mod.parse(open(path).read())
+    fn = next(
+        n for n in tree.body
+        if isinstance(n, ast_mod.FunctionDef) and n.name == "improve_judge"
+    )
+    ns = {"json": json}
+    exec(compile(ast_mod.Module(body=[fn], type_ignores=[]), path, "exec"), ns)
+    ref_improve = ns["improve_judge"]
+
+    # probes in the reference's file order: conv 1 turns 2-3, conv 2 turn 2
+    probes = [
+        {"id": "1-2-0"}, {"id": "1-2-1"},
+        {"id": "1-3-0"}, {"id": "1-3-1"}, {"id": "1-3-2"},
+        {"id": "2-2-0"}, {"id": "2-2-1"},
+    ]
+    scores = [0.5, 0.7, 0.25, 0.1, 0.3, 1.0, 1.0]
+    probe_file = tmp_path / "probes.jsonl"
+    with open(probe_file, "w") as f:
+        for p in probes:
+            f.write(json.dumps(p) + "\n")
+    ref_labels = ref_improve(str(probe_file), scores)
+
+    from haconvdr_tpu.mine.prj import improve_judge
+
+    ours = improve_judge(probes, {p["id"]: s for p, s in zip(probes, scores)})
+    assert ours == ref_labels
+    # spot-check the rule itself: 0.7 > 0.5 -> 1; 0.1 < 0.25 -> 0; tie -> 0
+    assert ref_labels["1-2"] == [1]
+    assert ref_labels["1-3"] == [0, 1]
+    assert ref_labels["2-2"] == [0]
