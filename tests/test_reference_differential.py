@@ -1053,3 +1053,79 @@ def test_improve_judge_matches_reference(tmp_path):
     assert ref_labels["1-2"] == [1]
     assert ref_labels["1-3"] == [0, 1]
     assert ref_labels["2-2"] == [0]
+
+
+def _mini_qrecc(path):
+    """QReCC train fixture: ctx q/a alternation, PRL labels, live
+    pseudo/prepos lists kept single-element so random.choice is
+    deterministic, plus one empty-positive record (skipped by both)."""
+    recs = [
+        {"sample_id": "QReCC-Train_3_1", "cur_utt_text": "what is jax",
+         "cur_response_text": "a library", "ctx_utts_text": [],
+         "pos_docs_text": ["jax is a library for arrays"],
+         "bm25_hard_neg_docs": ["dogs chase balls"],
+         "pseudo_prepos_docs": [], "prepos_neg_docs": [], "rel_label": []},
+        {"sample_id": "QReCC-Train_3_2", "cur_utt_text": "who wrote it",
+         "cur_response_text": "google", "ctx_utts_text": ["what is jax", "a library"],
+         "pos_docs_text": ["google wrote jax"],
+         "bm25_hard_neg_docs": ["cats sit on mats"],
+         "pseudo_prepos_docs": ["jax is a library for arrays"],
+         "prepos_neg_docs": ["dogs chase balls"], "rel_label": [1]},
+        {"sample_id": "QReCC-Train_3_3", "cur_utt_text": "skipped",
+         "cur_response_text": "", "ctx_utts_text": ["a", "b", "c", "d"],
+         "pos_docs_text": [], "bm25_hard_neg_docs": ["x"],
+         "pseudo_prepos_docs": [], "prepos_neg_docs": [], "rel_label": [0, 0]},
+        {"sample_id": "QReCC-Train_3_4", "cur_utt_text": "and when",
+         "cur_response_text": "", "ctx_utts_text": ["q1", "a1", "q2", "a2", "q3", "a3"],
+         "pos_docs_text": ["released in two thousand eighteen"],
+         "bm25_hard_neg_docs": ["rivers flow to the sea"],
+         "pseudo_prepos_docs": [], "prepos_neg_docs": ["cats sit on mats"],
+         "rel_label": [0, 1, 0]},
+    ]
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    return recs
+
+
+@pytest.mark.parametrize("use_prl", [False, True])
+def test_qrecc_train_concat_matches_reference(ref_modules, ckpt, tmp_path, use_prl):
+    """QReCC train-side differential: Retrieval_qrecc_new
+    (/root/reference/src/data.py:508-605) vs build_qrecc_examples —
+    conv_qa concat, masks and all four doc fields (the qrecc pseudo/
+    prepos branches are LIVE, unlike topiocqa's shadowed ones; kept
+    deterministic with single-element lists)."""
+    _, ref_data = ref_modules
+    ckpt_dir, _, _ = ckpt
+    tok = transformers.RobertaTokenizer.from_pretrained(ckpt_dir)
+    train_file = tmp_path / "qrecc_train.json"
+    _mini_qrecc(train_file)
+
+    args = _ref_args(is_train=True, use_PRL=use_prl, max_concat_length=40)
+    ref_ds = ref_data.Retrieval_qrecc_new(args, tok, str(train_file))
+    collate = ref_data.Retrieval_qrecc_new.get_collate_fn(args)
+    ref_batch = collate([ref_ds[i] for i in range(len(ref_ds))])
+
+    from haconvdr_tpu.data.qrecc import build_qrecc_examples
+
+    ours = build_qrecc_examples(
+        _our_cfg(dataset="qrecc", is_train=True, use_PRL=use_prl,
+                 max_concat_length=40),
+        tok, str(train_file),
+    )
+    assert len(ours) == len(ref_ds) == 3  # empty-positive record skipped
+    for key, ref_key in [
+        ("conv_qa", "bt_conv_qa"), ("conv_qa_mask", "bt_conv_qa_mask"),
+        ("pos_docs", "bt_pos_docs"), ("pos_docs_mask", "bt_pos_docs_mask"),
+        ("neg_docs", "bt_neg_docs"), ("neg_docs_mask", "bt_neg_docs_mask"),
+        ("pseudo_prepos_docs", "bt_pseudo_prepos_docs"),
+        ("prepos_neg_docs", "bt_prepos_neg_docs"),
+    ]:
+        ref_arr = ref_batch[ref_key]
+        for i, ex in enumerate(ours):
+            a = np.asarray(ref_arr[i]) if len(np.asarray(ref_arr[i]).shape) else ref_arr[i]
+            if key in ex and np.asarray(ex[key]).size and np.asarray(a).size:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(ex[key]),
+                    err_msg=f"{key} sample {i} (use_PRL={use_prl})",
+                )
