@@ -1129,3 +1129,54 @@ def test_qrecc_train_concat_matches_reference(ref_modules, ckpt, tmp_path, use_p
                     np.asarray(a), np.asarray(ex[key]),
                     err_msg=f"{key} sample {i} (use_PRL={use_prl})",
                 )
+
+
+def test_cast_eval_concat_matches_reference(ref_modules, ckpt, tmp_path):
+    """TREC-CAsT eval differential: Test_Retrieval_cast
+    (/root/reference/src/data.py:648-743) vs build_cast_test_examples —
+    conv_q and conv_qp concats across the manual-response (conv>80) and
+    plain branches (manual responses kept single-element so
+    random.choice is deterministic)."""
+    _, ref_data = ref_modules
+    ckpt_dir, _, _ = ckpt
+    tok = transformers.RobertaTokenizer.from_pretrained(ckpt_dir)
+    recs = [
+        {"id": "79_1", "topic_number": 79, "query_number": 1,
+         "input": ["what are teapots"], "manual_response": []},
+        {"id": "79_2", "topic_number": 79, "query_number": 2,
+         "input": ["what are teapots", "and kettles"], "manual_response": []},
+        {"id": "81_1", "topic_number": 81, "query_number": 1,
+         "input": ["where do rivers flow"],
+         "manual_response": ["rivers flow to the sea"]},
+        {"id": "81_2", "topic_number": 81, "query_number": 2,
+         "input": ["where do rivers flow", "and lakes"],
+         "manual_response": ["lakes drain into rivers"]},
+        {"id": "81_3", "topic_number": 81, "query_number": 3,
+         "input": ["where do rivers flow", "and lakes", "what about seas"],
+         "manual_response": []},
+    ]
+    cast_file = tmp_path / "cast.json"
+    with open(cast_file, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    args = _ref_args(max_concat_length=40)
+    ref_ds = ref_data.Test_Retrieval_cast(args, tok, str(cast_file))
+    collate = ref_data.Test_Retrieval_cast.get_collate_fn(args)
+    ref_batch = collate([ref_ds[i] for i in range(len(ref_ds))])
+
+    from haconvdr_tpu.data.cast import build_cast_test_examples
+
+    ours = build_cast_test_examples(
+        _our_cfg(dataset="cast", max_concat_length=40), tok, str(cast_file)
+    )
+    assert len(ours) == len(ref_ds)
+    for key, ref_key in [
+        ("conv_q", "bt_conv_q"), ("conv_q_mask", "bt_conv_q_mask"),
+        ("conv_qp", "bt_conv_qp"), ("conv_qp_mask", "bt_conv_qp_mask"),
+    ]:
+        ref_arr = np.asarray(ref_batch[ref_key])
+        for i, ex in enumerate(ours):
+            np.testing.assert_array_equal(
+                ref_arr[i], np.asarray(ex[key]), err_msg=f"{key} sample {i}"
+            )
