@@ -1180,3 +1180,67 @@ def test_cast_eval_concat_matches_reference(ref_modules, ckpt, tmp_path):
             np.testing.assert_array_equal(
                 ref_arr[i], np.asarray(ex[key]), err_msg=f"{key} sample {i}"
             )
+
+
+def test_qrecc_eval_and_multineg_match_reference(ref_modules, ckpt, tmp_path):
+    """Eval-side Retrieval_qrecc (/root/reference/src/data.py:381-460,
+    is_train=False) and the multi-negative Retrieval_qrecc_negs
+    (:745-818) vs the rebuild's builders (single-element positives keep
+    random.choice deterministic)."""
+    _, ref_data = ref_modules
+    ckpt_dir, _, _ = ckpt
+    tok = transformers.RobertaTokenizer.from_pretrained(ckpt_dir)
+    train_file = tmp_path / "qrecc.json"
+    recs = _mini_qrecc(train_file)
+    # multineg wants a per-record hard-negative LIST
+    negs_file = tmp_path / "qrecc_negs.json"
+    with open(negs_file, "w") as f:
+        for r in recs:
+            r = dict(r)
+            r["bm25_hard_neg_docs"] = [
+                r["bm25_hard_neg_docs"][0], "another hard negative"
+            ]
+            f.write(json.dumps(r) + "\n")
+
+    # eval-side conv_qa
+    args = _ref_args(is_train=False, max_concat_length=40)
+    ref_ds = ref_data.Retrieval_qrecc(args, tok, str(train_file))
+    collate = ref_data.Retrieval_qrecc.get_collate_fn(args)
+    ref_batch = collate([ref_ds[i] for i in range(len(ref_ds))])
+
+    from haconvdr_tpu.data.qrecc import (
+        build_qrecc_examples,
+        build_qrecc_multineg_examples,
+    )
+
+    ours = build_qrecc_examples(
+        _our_cfg(dataset="qrecc", is_train=False, max_concat_length=40),
+        tok, str(train_file),
+    )
+    assert len(ours) == len(ref_ds)
+    ref_qa = np.asarray(ref_batch["bt_conv_qa"])
+    for i, ex in enumerate(ours):
+        np.testing.assert_array_equal(ref_qa[i], np.asarray(ex["conv_qa"]))
+
+    # multineg: same concat + per-neg tokenization, reference keeps ALL
+    # negatives ragged; ours clamps/pads to num_negs with a count
+    args = _ref_args(is_train=True, max_concat_length=40)
+    ref_negs = ref_data.Retrieval_qrecc_negs(args, tok, str(negs_file))
+    ours_negs = build_qrecc_multineg_examples(
+        _our_cfg(dataset="qrecc", is_train=True, max_concat_length=40),
+        tok, str(negs_file), num_negs=2,
+    )
+    assert len(ours_negs) == len(ref_negs)
+    for i, ex in enumerate(ours_negs):
+        sample = ref_negs[i]
+        np.testing.assert_array_equal(
+            np.asarray(sample[1]), np.asarray(ex["conv_qa"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sample[3]), np.asarray(ex["pos_docs"])
+        )
+        ref_neg_tok = np.asarray(sample[5][0])  # [R, L] ragged list
+        assert int(ex["num_negs"]) == ref_neg_tok.shape[0]
+        np.testing.assert_array_equal(
+            ref_neg_tok, np.asarray(ex["neg_docs"])[: ref_neg_tok.shape[0]]
+        )
