@@ -1244,3 +1244,100 @@ def test_qrecc_eval_and_multineg_match_reference(ref_modules, ckpt, tmp_path):
         np.testing.assert_array_equal(
             ref_neg_tok, np.asarray(ex["neg_docs"])[: ref_neg_tok.shape[0]]
         )
+
+
+def test_qrecc_l0_preprocess_matches_reference(tmp_path):
+    """QReCC L0 differential: gen_qrecc_qrel + gen_qrecc_train_test_files
+    vs the reference's own functions.  The reference FILE is unparseable
+    (trailing ':' in its __main__ block, preprocess_qrecc.py:418 — a
+    documented defect), so the clean function region (lines 1-413) is
+    sliced and exec'd; its undefined ``logger`` (another defect: the file
+    never defines one) is stubbed.  Deterministic fields must match
+    exactly; random negatives are compared structurally."""
+    import logging
+    import pickle
+
+    path = "/root/reference/preprocess/preprocess_qrecc.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    src_lines = open(path).read().splitlines(keepends=True)
+    # logger and pickle are both used-but-never-imported in the reference
+    # file (defects); supply them so its own code paths execute
+    ns = {"logger": logging.getLogger("_ref_qrecc_pre"), "pickle": pickle}
+    exec(compile("".join(src_lines[:413]), path, "exec"), ns)
+
+    rawpids = [f"http://raw/{i}" for i in range(8)]
+    with open(tmp_path / "pid2rawpid.pkl", "wb") as f:
+        pickle.dump(rawpids, f)
+
+    def turn(conv, t, q, rewrite, answer, passages, ctx):
+        return {"Conversation_no": conv, "Turn_no": t,
+                "Conversation_source": "quac", "Question": q,
+                "Truth_rewrite": rewrite, "Truth_answer": answer,
+                "Truth_passages": passages, "Context": ctx}
+
+    train = [
+        turn(1, 1, "who is he", "who is albert einstein", "a physicist",
+             ["http://raw/1"], []),
+        turn(1, 2, "when was he born", "when was einstein born", "1879",
+             ["http://raw/2"],
+             ["who is he", "a physicist"]),
+        turn(2, 1, "what is jax", "what is the jax library", "a library",
+             ["http://raw/3"], []),
+    ]
+    test = [
+        turn(5, 1, "where is it", "where is the nile", "africa",
+             ["http://raw/4"], []),
+        turn(5, 2, "how long", "how long is the nile", "6650 km",
+             ["http://raw/5"], ["where is it", "africa"]),
+    ]
+    (tmp_path / "train_in.json").write_text(json.dumps(train))
+    (tmp_path / "test_in.json").write_text(json.dumps(test))
+
+    ns["gen_qrecc_train_test_files"](
+        str(tmp_path / "train_in.json"), str(tmp_path / "test_in.json"),
+        str(tmp_path / "ref_train.json"), str(tmp_path / "ref_test.json"),
+        str(tmp_path / "pid2rawpid.pkl"),
+    )
+    ns["gen_qrecc_qrel"](
+        str(tmp_path / "test_in.json"), str(tmp_path / "ref_qrel.trec"),
+        str(tmp_path / "pid2rawpid.pkl"),
+    )
+
+    from haconvdr_tpu.preprocess import qrecc as ours
+
+    ours.gen_qrecc_train_test_files(
+        str(tmp_path / "train_in.json"), str(tmp_path / "test_in.json"),
+        str(tmp_path / "our_train.json"), str(tmp_path / "our_test.json"),
+        str(tmp_path / "pid2rawpid.pkl"),
+    )
+    ours.gen_qrecc_qrel(
+        str(tmp_path / "test_in.json"), str(tmp_path / "our_qrel.trec"),
+        str(tmp_path / "pid2rawpid.pkl"),
+    )
+
+    assert (
+        open(tmp_path / "our_qrel.trec").read()
+        == open(tmp_path / "ref_qrel.trec").read()
+    )
+    for split in ("train", "test"):
+        ref_recs = [json.loads(l) for l in open(tmp_path / f"ref_{split}.json")]
+        our_recs = [json.loads(l) for l in open(tmp_path / f"our_{split}.json")]
+        assert len(ref_recs) == len(our_recs)
+        for a, b in zip(ref_recs, our_recs):
+            for key in ("sample_id", "source", "cur_utt_text",
+                        "oracle_utt_text", "cur_response_text",
+                        "ctx_utts_text", "pos_docs_pids"):
+                assert a[key] == b[key], (split, a["sample_id"], key)
+            if "random_neg_docs_pids" in a:
+                assert len(b["random_neg_docs_pids"]) == len(
+                    a["random_neg_docs_pids"]
+                )
+                assert set(b["prepos_neg_docs_pids"]) == set(
+                    a["prepos_neg_docs_pids"]
+                )
+    # the CONQRR substitution: turn-1 cur_utt is the rewrite, and later
+    # turns' ctx reconstructs queries from the SUBSTITUTED sid2utt map
+    ref_train_recs = [json.loads(l) for l in open(tmp_path / "ref_train.json")]
+    assert ref_train_recs[0]["cur_utt_text"] == "who is albert einstein"
+    assert ref_train_recs[1]["ctx_utts_text"][0] == "who is albert einstein"
