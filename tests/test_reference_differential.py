@@ -1341,3 +1341,70 @@ def test_qrecc_l0_preprocess_matches_reference(tmp_path):
     ref_train_recs = [json.loads(l) for l in open(tmp_path / "ref_train.json")]
     assert ref_train_recs[0]["cur_utt_text"] == "who is albert einstein"
     assert ref_train_recs[1]["ctx_utts_text"][0] == "who is albert einstein"
+
+
+def test_qrecc_merge_steps_match_reference(tmp_path):
+    """QReCC enrichment differentials (merge_rel_label_info with its
+    id-alignment walk and zero-fill, merge_bm25_neg_info) against the
+    reference's sliced functions; pins the reference's exhaustion defect
+    (its bare except + continue silently DROPS every record after the rel
+    file runs out, preprocess_qrecc.py:261-268 — the rebuild keeps them
+    with zero-fill labels)."""
+    import logging
+    import pickle
+
+    path = "/root/reference/preprocess/preprocess_qrecc.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    src_lines = open(path).read().splitlines(keepends=True)
+    ns = {"logger": logging.getLogger("_ref_qrecc_pre2"), "pickle": pickle}
+    exec(compile("".join(src_lines[:413]), path, "exec"), ns)
+
+    recs = [
+        {"sample_id": "QReCC-Train_8_1", "pos_docs_pids": [1]},
+        {"sample_id": "QReCC-Train_8_2", "pos_docs_pids": [2]},
+        {"sample_id": "QReCC-Train_8_3", "pos_docs_pids": [3]},
+        {"sample_id": "QReCC-Train_9_1", "pos_docs_pids": [4]},
+        {"sample_id": "QReCC-Train_9_2", "pos_docs_pids": [5]},
+    ]
+    orig = tmp_path / "orig.json"
+    with open(orig, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    # rel labels present for 8-2 only; 8-3 mismatches, 9-2 beyond the file
+    rel = tmp_path / "rel.json"
+    with open(rel, "w") as f:
+        f.write(json.dumps({"id": "8-2", "rel_label": [1]}) + "\n")
+
+    ref_out = tmp_path / "ref.json"
+    our_out = tmp_path / "our.json"
+    ns["merge_rel_label_info"](str(rel), str(orig), str(ref_out))
+    from haconvdr_tpu.preprocess import qrecc as ours
+
+    ours.merge_rel_label_info(str(rel), str(orig), str(our_out))
+    ref_recs = [json.loads(l) for l in open(ref_out)]
+    our_recs = [json.loads(l) for l in open(our_out)]
+    # records written by both agree exactly...
+    assert ref_recs == our_recs[: len(ref_recs)]
+    assert [r["rel_label"] for r in ref_recs] == [[], [1]]
+    # ...and the reference DROPS every record once the rel file is
+    # exhausted (8-3, 9-1, 9-2 all vanish); ours keeps them with the
+    # zero-fill the in-range mismatch branch applies
+    assert len(ref_recs) == 2 and len(our_recs) == 5
+    assert [r["rel_label"] for r in our_recs[2:]] == [[0, 0], [], [0]]
+
+    # bm25 merge: byte-identical
+    run = tmp_path / "bm25.trec"
+    with open(run, "w") as f:
+        for r in recs:
+            for rank, pid in enumerate([r["pos_docs_pids"][0], 70, 71]):
+                f.write(f"{r['sample_id']} Q0 {pid} {rank+1} {9-rank} bm25\n")
+    ref_out2 = tmp_path / "ref2.json"
+    our_out2 = tmp_path / "our2.json"
+    ns["merge_bm25_neg_info"](str(run), str(orig), str(ref_out2))
+    ours.merge_bm25_neg_info(str(run), str(orig), str(our_out2))
+    assert open(ref_out2).read().strip().splitlines() == open(
+        our_out2
+    ).read().strip().splitlines() or [
+        json.loads(l) for l in open(ref_out2)
+    ] == [json.loads(l) for l in open(our_out2)]
