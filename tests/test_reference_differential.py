@@ -1408,3 +1408,51 @@ def test_qrecc_merge_steps_match_reference(tmp_path):
     ).read().strip().splitlines() or [
         json.loads(l) for l in open(ref_out2)
     ] == [json.loads(l) for l in open(our_out2)]
+
+
+def test_print_res_matches_reference(tmp_path):
+    """JSON-variant metric printer differential: src/utils.py print_res
+    (:230-274; its undefined ``logger`` — a documented defect — injected)
+    vs eval/analysis.print_res on identical result/gold dumps."""
+    import logging
+    import types
+
+    path = os.path.join(REF, "utils.py")
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    tf_now = sys.modules["transformers"]
+    had_adamw = hasattr(tf_now, "AdamW")
+    if not had_adamw:
+        tf_now.AdamW = torch.optim.AdamW
+    try:
+        ref_utils = _load_ref_module("_ref_utils_pr", path)
+    finally:
+        if not had_adamw:
+            del tf_now.AdamW
+    ref_utils.logger = logging.getLogger("_ref_utils_pr")
+
+    gold = [
+        {"conv_id": 1, "turn_id": 1,
+         "positive_ctxs": [{"passage_id": 11}]},
+        {"conv_id": 1, "turn_id": 2,
+         "positive_ctxs": [{"passage_id": 22}]},
+        {"conv_id": 2, "turn_id": 1,
+         "positive_ctxs": [{"passage_id": 33}]},
+    ]
+    results = [
+        {"conv_id": 1, "turn_id": 1,
+         "ctxs": [{"doc_id": 11}, {"doc_id": 5}]},         # rank 1
+        {"conv_id": 1, "turn_id": 2,
+         "ctxs": [{"doc_id": 7}, {"doc_id": 9}, {"doc_id": 22}]},  # rank 3
+        {"conv_id": 2, "turn_id": 1,
+         "ctxs": [{"doc_id": 4}]},                          # not found
+    ]
+    rf, gf = tmp_path / "res.json", tmp_path / "gold.json"
+    rf.write_text(json.dumps(results))
+    gf.write_text(json.dumps(gold))
+    ref_scores = ref_utils.print_res(str(rf), str(gf))
+
+    from haconvdr_tpu.eval.analysis import print_res
+
+    ours = print_res(results, gold)
+    assert ours == ref_scores
