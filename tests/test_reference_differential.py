@@ -1456,3 +1456,95 @@ def test_print_res_matches_reference(tmp_path):
 
     ours = print_res(results, gold)
     assert ours == ref_scores
+
+
+def test_qrecc_doc_extract_and_reformulate_match_reference(tmp_path):
+    """QReCC doc-content extraction (preprocess_qrecc.py:180-243; its
+    modify_pos/neg_docs live un-imported in the topiocqa file — another
+    cross-file defect, injected here as the identity passthroughs they
+    are) and reformulate_dataset_info (:361-411, pinning the same
+    data[i-idx] indexing defect as the topiocqa variant)."""
+    import logging
+    import pickle
+
+    path = "/root/reference/preprocess/preprocess_qrecc.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    src_lines = open(path).read().splitlines(keepends=True)
+    ns = {
+        "logger": logging.getLogger("_ref_qrecc_pre3"), "pickle": pickle,
+        "modify_pos_docs": lambda sample, texts: texts,
+        "modify_neg_docs": lambda sample, texts: texts,
+    }
+    exec(compile("".join(src_lines[:413]), path, "exec"), ns)
+
+    from haconvdr_tpu.preprocess import qrecc as ours
+
+    # doc-content extraction
+    recs = [
+        {"sample_id": "QReCC-Train_1_1", "pos_docs_pids": [1],
+         "random_neg_docs_pids": [3, 4]},
+        {"sample_id": "QReCC-Train_1_2", "pos_docs_pids": [2],
+         "random_neg_docs_pids": [5, 6]},
+        {"sample_id": "QReCC-Train_1_3", "pos_docs_pids": [7],  # bad doc
+         "random_neg_docs_pids": [3]},
+    ]
+    train_in = tmp_path / "train.json"
+    with open(train_in, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    coll = tmp_path / "collection.tsv"
+    with open(coll, "w") as f:
+        for pid in (1, 2, 3, 4, 5, 6):
+            f.write(f"{pid}\tpassage {pid}\n")
+        f.write("7\n")  # bad line: pid only (the reference's except path)
+
+    ref_out = tmp_path / "ref.json"
+    our_out = tmp_path / "our.json"
+    ns["extract_doc_content_of_random_negs_for_train_file"](
+        str(coll), str(train_in), str(ref_out), random_neg_ratio=1
+    )
+    ours.extract_doc_content_of_random_negs_for_train_file(
+        str(coll), str(train_in), str(our_out), random_neg_ratio=1
+    )
+    ref_docs = [json.loads(l) for l in open(ref_out)]
+    our_docs = [json.loads(l) for l in open(our_out)]
+    assert ref_docs[:2] == our_docs[:2]
+    # pinned divergence: the reference turns a bad collection line into an
+    # EMPTY-STRING positive (its except path logs and keeps it), which
+    # downstream len(pos_docs_text)>0 checks treat as a real positive; the
+    # rebuild drops it so the dataset classes skip the record cleanly
+    assert ref_docs[2]["pos_docs_text"] == [""]
+    assert our_docs[2]["pos_docs_text"] == []
+
+    # reformulate with the indexing divergence pinned
+    enriched = tmp_path / "enriched.json"
+    rows = [
+        {"sample_id": "QReCC-Train_2_1", "cur_utt_text": "q1",
+         "cur_response_text": "a1", "ctx_utts_text": [],
+         "pos_docs_text": ["P1"], "pos_docs_pids": [1],
+         "prepos_neg_docs_pids": [], "rel_label": [],
+         "bm25_hard_neg_docs_pids": [9], "bm25_hard_neg_docs": ["N9"]},
+        {"sample_id": "QReCC-Train_2_2", "cur_utt_text": "q2",
+         "cur_response_text": "a2", "ctx_utts_text": ["q1", "a1"],
+         "pos_docs_text": ["P2"], "pos_docs_pids": [2],
+         "prepos_neg_docs_pids": [1], "rel_label": [1],
+         "bm25_hard_neg_docs_pids": [8], "bm25_hard_neg_docs": ["N8"]},
+    ]
+    with open(enriched, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ref_final = tmp_path / "ref_final.json"
+    our_final = tmp_path / "our_final.json"
+    ns["reformulate_dataset_info"](str(enriched), str(ref_final))
+    ours.reformulate_dataset_info(str(enriched), str(our_final))
+    ref_f = [json.loads(l) for l in open(ref_final)]
+    our_f = [json.loads(l) for l in open(our_final)]
+    for a, b in zip(ref_f, our_f):
+        for key in a:
+            if key.startswith(("pseudo_prepos", "prepos_neg")):
+                continue
+            assert a[key] == b[key], key
+    # pinned: reference's idx=0 reads the CURRENT record; ours the history
+    assert ref_f[1]["pseudo_prepos_docs_pids"] == [2]
+    assert our_f[1]["pseudo_prepos_docs_pids"] == [1]
