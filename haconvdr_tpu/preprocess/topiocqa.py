@@ -126,8 +126,9 @@ def merge_rel_label_info(rel_file: str, orig_file: str, new_file: str) -> None:
         sid = rec["sample_id"]
         if "_" in sid:  # 'TopiOCQA-Train_conv_turn' layout
             conv_id, turn_id = sid.split("_")[-2:]
-        else:  # 'conv-turn' layout (the PRJ-stage files the reference
-            # actually runs this on, combine_topiocqa_data output)
+        else:  # 'conv-turn' layout (records whose sample_id already uses
+            # the PRJ-stage id convention — the format the reference's own
+            # split('-') checks at :175-180 expect)
             conv_id, turn_id = sid.split("-")[0], sid.split("-")[-1]
         if turn_id != "1":
             # positional alignment with a conv/turn sanity check (the

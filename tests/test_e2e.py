@@ -378,6 +378,6 @@ def test_retriever_int8_resident(pipeline):
     # scores, full result set.
     hits = r.retrieve(_passage_text(12))
     assert len(hits) == 5
-    pids = [pid for pid, _ in hits]
-    assert all(p in set(corpus.offset2pid()) for p in pids)
+    valid = set(corpus.offset2pid())
+    assert all(pid in valid for pid, _ in hits)
     assert all(np.isfinite(s) for _, s in hits)

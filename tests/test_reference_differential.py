@@ -44,6 +44,35 @@ def _load_ref_module(name, path):
     return mod
 
 
+def _load_ref_or_skip(name, path):
+    """Load a reference module by path, skipping when the tree is absent."""
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    return _load_ref_module(name, path)
+
+
+_QRECC_PRE = "/root/reference/preprocess/preprocess_qrecc.py"
+# the function region of preprocess_qrecc.py is clean; everything from the
+# __main__ block (line 414+, syntax error at 418) is excluded
+_QRECC_PRE_FN_LINES = 413
+
+
+def _load_qrecc_pre_ns(extra=None):
+    """Slice-exec preprocess_qrecc.py's function region (the file itself is
+    unparseable — trailing ':' in __main__).  Injects the names the file
+    uses but never imports/defines (pickle, logger) plus any extras."""
+    import logging
+    import pickle as _pickle
+
+    if not os.path.exists(_QRECC_PRE):
+        pytest.skip("reference tree not mounted")
+    src_lines = open(_QRECC_PRE).read().splitlines(keepends=True)
+    ns = {"logger": logging.getLogger("_ref_qrecc_pre"), "pickle": _pickle}
+    ns.update(extra or {})
+    exec(compile("".join(src_lines[:_QRECC_PRE_FN_LINES]), _QRECC_PRE, "exec"), ns)
+    return ns
+
+
 @pytest.fixture(scope="module")
 def ref_modules():
     if not os.path.isdir(REF):
@@ -294,11 +323,8 @@ def test_trec_run_matches_reference_semantics(ref_modules, ckpt, tmp_path):
         sa, sb = float(fa[5]), float(fb[5])
         tol = 1e-5 * max(1.0, abs(sa))
         assert abs(sa - sb) <= tol, (la, lb)
-        # pids agree exactly EXCEPT within score ties, where extraction
-        # order may legitimately differ (documented divergence; the tied
-        # pids must still be the same set per query — checked below)
-        if fa[2] != fb[2]:
-            assert abs(sa - sb) <= tol, (la, lb)
+        # pids may differ within score ties (extraction order is
+        # implementation-defined); per-query set equality is checked below
         per_q.setdefault(fa[0], ([], []))
         per_q[fa[0]][0].append(fa[2])
         per_q[fa[0]][1].append(fb[2])
@@ -513,15 +539,7 @@ def test_prj_probe_generation_matches_reference(tmp_path):
     (/root/reference/preprocess/PRJ_topiocqa.py:238-300, a pure file
     transform) vs mine/prj.create_label_rel_turn — identical probe
     records for identical inputs."""
-    import importlib.util
-
-    path = "/root/reference/preprocess/PRJ_topiocqa.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    spec = importlib.util.spec_from_file_location("_ref_prj", path)
-    ref_prj = importlib.util.module_from_spec(spec)
-    sys.modules["_ref_prj"] = ref_prj
-    spec.loader.exec_module(ref_prj)
+    ref_prj = _load_ref_or_skip("_ref_prj", "/root/reference/preprocess/PRJ_topiocqa.py")
 
     recs = []
     for conv in (1, 2):
@@ -553,12 +571,8 @@ def test_prj_probe_generation_matches_reference(tmp_path):
     ref_by_id = {p["id"]: p for p in ref_probes}
     for p in ours:
         ref_p = ref_by_id[p["id"]]
-        for key in ref_p:
-            if key in p:
-                assert p[key] == ref_p[key], (p["id"], key)
-        # the fields retrieval consumes must always be present and equal
-        for key in ("query", "query_pair", "pos_docs_id"):
-            assert p[key] == ref_p[key], (p["id"], key)
+        for key in ref_p:  # every reference field must exist and match
+            assert key in p and p[key] == ref_p[key], (p["id"], key)
 
 
 def test_l0_preprocess_matches_reference(tmp_path, monkeypatch):
@@ -573,15 +587,7 @@ def test_l0_preprocess_matches_reference(tmp_path, monkeypatch):
     boundary (:108-118 lacks the train loop's reset), leaking the
     previous conversation's response into the next conversation's first
     turn; the rebuild resets it."""
-    import importlib.util
-
-    path = "/root/reference/preprocess/preprocess_topicoqa.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    spec = importlib.util.spec_from_file_location("_ref_pre", path)
-    ref_pre = importlib.util.module_from_spec(spec)
-    sys.modules["_ref_pre"] = ref_pre
-    spec.loader.exec_module(ref_pre)
+    ref_pre = _load_ref_or_skip("_ref_pre", "/root/reference/preprocess/preprocess_topicoqa.py")
 
     def turn(conv, t, pid, q):
         return {
@@ -662,15 +668,7 @@ def test_l0_merge_and_reformulate_match_reference(tmp_path):
     reference's known indexing defect (``data[i - idx]`` includes the
     CURRENT turn at idx=0; intended mapping is i-(len-idx), the same
     convention the train reader uses, src/data.py:284-290)."""
-    import importlib.util
-
-    path = "/root/reference/preprocess/preprocess_topicoqa.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    spec = importlib.util.spec_from_file_location("_ref_pre2", path)
-    ref_pre = importlib.util.module_from_spec(spec)
-    sys.modules["_ref_pre2"] = ref_pre
-    spec.loader.exec_module(ref_pre)
+    ref_pre = _load_ref_or_skip("_ref_pre2", "/root/reference/preprocess/preprocess_topicoqa.py")
 
     from haconvdr_tpu.preprocess import topiocqa as ours
 
@@ -747,15 +745,7 @@ def test_prf_selection_matches_reference(tmp_path):
     vs the reference's (preprocess_topicoqa.py:315-375) on fabricated
     aligned BM25/ANCE runs covering the three selection regimes (disjoint
     runs, heavy overlap, partial overlap)."""
-    import importlib.util
-
-    path = "/root/reference/preprocess/preprocess_topicoqa.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    spec = importlib.util.spec_from_file_location("_ref_pre3", path)
-    ref_pre = importlib.util.module_from_spec(spec)
-    sys.modules["_ref_pre3"] = ref_pre
-    spec.loader.exec_module(ref_pre)
+    ref_pre = _load_ref_or_skip("_ref_pre3", "/root/reference/preprocess/preprocess_topicoqa.py")
 
     rng = np.random.RandomState(5)
     bm25_path = tmp_path / "bm25.trec"
@@ -797,15 +787,7 @@ def test_prf_merge_matches_reference(tmp_path):
     undefined name ``collection_file_path`` instead of its parameter
     (documented defect) — set as a module global here so its own code
     path executes; outputs must then match byte-for-byte."""
-    import importlib.util
-
-    path = "/root/reference/preprocess/preprocess_topicoqa.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    spec = importlib.util.spec_from_file_location("_ref_pre4", path)
-    ref_pre = importlib.util.module_from_spec(spec)
-    sys.modules["_ref_pre4"] = ref_pre
-    spec.loader.exec_module(ref_pre)
+    ref_pre = _load_ref_or_skip("_ref_pre4", "/root/reference/preprocess/preprocess_topicoqa.py")
 
     # runs: 100 aligned ranks per qid, partially overlapping
     qids = ["7-2", "7-3"]
@@ -851,15 +833,7 @@ def test_prj_token_probes_and_gold_trec_match_reference(tmp_path):
     """Token-level probe generation (create_label_rel_token,
     /root/reference/preprocess/PRJ_topiocqa.py:302-353) and the gold->trec
     converter (:455-468) vs the reference's own file transforms."""
-    import importlib.util
-
-    path = "/root/reference/preprocess/PRJ_topiocqa.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    spec = importlib.util.spec_from_file_location("_ref_prj2", path)
-    ref_prj = importlib.util.module_from_spec(spec)
-    sys.modules["_ref_prj2"] = ref_prj
-    spec.loader.exec_module(ref_prj)
+    ref_prj = _load_ref_or_skip("_ref_prj2", "/root/reference/preprocess/PRJ_topiocqa.py")
 
     recs = [
         {"id": "3-1", "conv_id": 3, "turn_id": 1, "history_query": [],
@@ -897,15 +871,7 @@ def test_prj_token_probes_and_gold_trec_match_reference(tmp_path):
 def test_topic_oracle_labels_match_reference(tmp_path, mode):
     """Topic-oracle rel labels (create_topic_rel_turn,
     /root/reference/preprocess/PRJ_topiocqa.py:355-418) vs the rebuild."""
-    import importlib.util
-
-    path = "/root/reference/preprocess/PRJ_topiocqa.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    spec = importlib.util.spec_from_file_location("_ref_prj3", path)
-    ref_prj = importlib.util.module_from_spec(spec)
-    sys.modules["_ref_prj3"] = ref_prj
-    spec.loader.exec_module(ref_prj)
+    ref_prj = _load_ref_or_skip("_ref_prj3", "/root/reference/preprocess/PRJ_topiocqa.py")
 
     def rec(conv, t, topic, sub):
         return {"id": f"{conv}-{t}", "conv_id": conv, "turn_id": t,
@@ -932,15 +898,7 @@ def test_prj_triples_match_reference(tmp_path):
     """Classifier-training triples (create_PRJ,
     /root/reference/preprocess/PRJ_topiocqa.py:470-504) vs
     mine/prj.create_prj_triples."""
-    import importlib.util
-
-    path = "/root/reference/preprocess/PRJ_topiocqa.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    spec = importlib.util.spec_from_file_location("_ref_prj4", path)
-    ref_prj = importlib.util.module_from_spec(spec)
-    sys.modules["_ref_prj4"] = ref_prj
-    spec.loader.exec_module(ref_prj)
+    ref_prj = _load_ref_or_skip("_ref_prj4", "/root/reference/preprocess/PRJ_topiocqa.py")
 
     labels = [
         {"id": "4-1", "conv_id": 4, "turn_id": 1, "rel_label": []},
@@ -975,15 +933,7 @@ def test_prj_qrecc_probes_match_reference(tmp_path):
     """QReCC probe generation differential (create_label_rel_turn,
     /root/reference/preprocess/PRJ_qrecc.py:17-66): empty-positive turns
     skipped, 'conv-turn' id parsing, last_response carried."""
-    import importlib.util
-
-    path = "/root/reference/preprocess/PRJ_qrecc.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    spec = importlib.util.spec_from_file_location("_ref_prjq", path)
-    ref_prj = importlib.util.module_from_spec(spec)
-    sys.modules["_ref_prjq"] = ref_prj
-    spec.loader.exec_module(ref_prj)
+    ref_prj = _load_ref_or_skip("_ref_prjq", "/root/reference/preprocess/PRJ_qrecc.py")
 
     recs = [
         {"sample_id": "9-1", "context_queries": [], "query": "q1",
@@ -1114,21 +1064,37 @@ def test_qrecc_train_concat_matches_reference(ref_modules, ckpt, tmp_path, use_p
         tok, str(train_file),
     )
     assert len(ours) == len(ref_ds) == 3  # empty-positive record skipped
+    # always-present fields compare unconditionally
     for key, ref_key in [
         ("conv_qa", "bt_conv_qa"), ("conv_qa_mask", "bt_conv_qa_mask"),
         ("pos_docs", "bt_pos_docs"), ("pos_docs_mask", "bt_pos_docs_mask"),
         ("neg_docs", "bt_neg_docs"), ("neg_docs_mask", "bt_neg_docs_mask"),
-        ("pseudo_prepos_docs", "bt_pseudo_prepos_docs"),
-        ("prepos_neg_docs", "bt_prepos_neg_docs"),
     ]:
         ref_arr = ref_batch[ref_key]
         for i, ex in enumerate(ours):
-            a = np.asarray(ref_arr[i]) if len(np.asarray(ref_arr[i]).shape) else ref_arr[i]
-            if key in ex and np.asarray(ex[key]).size and np.asarray(a).size:
+            np.testing.assert_array_equal(
+                np.asarray(ref_arr[i]), np.asarray(ex[key]),
+                err_msg=f"{key} sample {i} (use_PRL={use_prl})",
+            )
+    # the LIVE pseudo/prepos branches, compared against the RAW dataset
+    # examples (the reference's collate mangles ragged lists — examples
+    # mix [] and [L]); ours pads to [L] with a presence flag
+    for key, ref_idx in [
+        ("pseudo_prepos_docs", 7), ("prepos_neg_docs", 9),
+    ]:
+        flag = {"pseudo_prepos_docs": "has_pseudo_prepos",
+                "prepos_neg_docs": "has_prepos_neg"}[key]
+        non_empty = 0
+        for i, ex in enumerate(ours):
+            a = np.asarray(ref_ds[i][ref_idx])
+            assert (a.size > 0) == bool(ex[flag]), (key, i)
+            if a.size:
+                non_empty += 1
                 np.testing.assert_array_equal(
-                    np.asarray(a), np.asarray(ex[key]),
+                    a, np.asarray(ex[key]),
                     err_msg=f"{key} sample {i} (use_PRL={use_prl})",
                 )
+        assert non_empty >= 1, key  # the fixture's carrying records fire
 
 
 def test_cast_eval_concat_matches_reference(ref_modules, ckpt, tmp_path):
@@ -1257,14 +1223,7 @@ def test_qrecc_l0_preprocess_matches_reference(tmp_path):
     import logging
     import pickle
 
-    path = "/root/reference/preprocess/preprocess_qrecc.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    src_lines = open(path).read().splitlines(keepends=True)
-    # logger and pickle are both used-but-never-imported in the reference
-    # file (defects); supply them so its own code paths execute
-    ns = {"logger": logging.getLogger("_ref_qrecc_pre"), "pickle": pickle}
-    exec(compile("".join(src_lines[:413]), path, "exec"), ns)
+    ns = _load_qrecc_pre_ns()
 
     rawpids = [f"http://raw/{i}" for i in range(8)]
     with open(tmp_path / "pid2rawpid.pkl", "wb") as f:
@@ -1350,15 +1309,7 @@ def test_qrecc_merge_steps_match_reference(tmp_path):
     (its bare except + continue silently DROPS every record after the rel
     file runs out, preprocess_qrecc.py:261-268 — the rebuild keeps them
     with zero-fill labels)."""
-    import logging
-    import pickle
-
-    path = "/root/reference/preprocess/preprocess_qrecc.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    src_lines = open(path).read().splitlines(keepends=True)
-    ns = {"logger": logging.getLogger("_ref_qrecc_pre2"), "pickle": pickle}
-    exec(compile("".join(src_lines[:413]), path, "exec"), ns)
+    ns = _load_qrecc_pre_ns()
 
     recs = [
         {"sample_id": "QReCC-Train_8_1", "pos_docs_pids": [1]},
@@ -1403,11 +1354,9 @@ def test_qrecc_merge_steps_match_reference(tmp_path):
     our_out2 = tmp_path / "our2.json"
     ns["merge_bm25_neg_info"](str(run), str(orig), str(ref_out2))
     ours.merge_bm25_neg_info(str(run), str(orig), str(our_out2))
-    assert open(ref_out2).read().strip().splitlines() == open(
-        our_out2
-    ).read().strip().splitlines() or [
-        json.loads(l) for l in open(ref_out2)
-    ] == [json.loads(l) for l in open(our_out2)]
+    assert [json.loads(l) for l in open(ref_out2)] == [
+        json.loads(l) for l in open(our_out2)
+    ]
 
 
 def test_print_res_matches_reference(tmp_path):
@@ -1464,19 +1413,10 @@ def test_qrecc_doc_extract_and_reformulate_match_reference(tmp_path):
     cross-file defect, injected here as the identity passthroughs they
     are) and reformulate_dataset_info (:361-411, pinning the same
     data[i-idx] indexing defect as the topiocqa variant)."""
-    import logging
-    import pickle
-
-    path = "/root/reference/preprocess/preprocess_qrecc.py"
-    if not os.path.exists(path):
-        pytest.skip("reference tree not mounted")
-    src_lines = open(path).read().splitlines(keepends=True)
-    ns = {
-        "logger": logging.getLogger("_ref_qrecc_pre3"), "pickle": pickle,
+    ns = _load_qrecc_pre_ns(extra={
         "modify_pos_docs": lambda sample, texts: texts,
         "modify_neg_docs": lambda sample, texts: texts,
-    }
-    exec(compile("".join(src_lines[:413]), path, "exec"), ns)
+    })
 
     from haconvdr_tpu.preprocess import qrecc as ours
 
