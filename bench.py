@@ -149,7 +149,7 @@ def bench_ivf(jax, jnp):
     do not cluster and are the wrong benchmark), the index is built
     entirely on device (build_ivf_device, ~6 s at 2.5M), and the report is
     pipelined single-query latency at nprobe=64/4096 plus measured
-    recall@100 against the exact fused kernel.  Measured: 1.46 ms at
+    recall@100 against the exact fused kernel.  Measured: 1.03 ms at
     recall 1.0 (vs 6.7 ms exact bf16 scan; vs the same 10 ms faiss-gpu
     single-block pin as BENCH_LATENCY)."""
     from haconvdr_tpu.index.ivf import _ivf_search_one, build_ivf_device, ivf_search

@@ -291,6 +291,13 @@ def build_ivf_device(
             f"IVF overflow: {n_spill} rows spill but tail capacity is "
             f"{tail_cap}; raise slack= or tail_frac="
         )
+    # trim the tail to its used prefix (spill rows are contiguous from 0):
+    # the always-scanned tail costs every query tail_ROWS x D of HBM
+    # traffic, so capacity headroom beyond the actual spill is pure waste
+    used = max(8, -(-n_spill // 8) * 8)
+    if used < tail.shape[0]:
+        tail = tail[:used]
+        tail_ids = tail_ids[:used]
     return IVFIndex(
         centroids=cent,
         buckets=buckets,

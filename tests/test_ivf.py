@@ -270,3 +270,21 @@ def test_shard_ivf_pads_tail_to_shard_count(rng):
     s, i = sharded_ivf_search(mesh, sh, q, k=5)
     s1, i1 = ivf_search(short, q, k=5)
     np.testing.assert_allclose(s, s1, rtol=1e-5)
+
+
+def test_device_build_trims_tail_to_spill(rng):
+    """The always-scanned tail must shrink to the actual spill, not the
+    allocated tail_frac capacity (per-query cost scales with tail rows)."""
+    from haconvdr_tpu.index.ivf import build_ivf_device
+
+    x = _mixture(rng, 2000, 16, n_modes=8)
+    index = build_ivf_device(
+        jnp.asarray(x), nlist=8, nprobe=8, slack=1.05, tail_frac=0.5
+    )
+    n_spill = int(np.sum(np.asarray(index.tail_ids) >= 0))
+    assert index.tail.shape[0] <= max(8, -(-n_spill // 8) * 8)
+    # exactness preserved through the trim
+    q = _mixture(rng, 3, 16, n_modes=8)
+    s, i = ivf_search(index, q, k=7)
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(x), 7)
+    np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5)
