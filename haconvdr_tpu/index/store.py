@@ -269,6 +269,12 @@ class EmbeddingBlockStore:
                 )
             emb, ids = self.read_block(b)
             scale = self.block_scale(b)
+            if emb.dtype == np.int8 and scale is None:
+                raise FileNotFoundError(
+                    f"int8 block {b} under {self.dir_path} has no "
+                    f"embscale_block_{b}.npy sidecar — its codes cannot "
+                    "be scored or dequantized"
+                )
             if with_scales:
                 yield emb, ids, scale
             elif scale is not None:

@@ -287,6 +287,14 @@ class BlockSearcher:
         def to_device(item):
             emb, ids = item[0], item[1]
             scale = item[2] if len(item) > 2 else None
+            if emb.dtype == np.int8 and scale is None:
+                # scoring raw quantized codes unscaled is silently wrong;
+                # int8 blocks must arrive as (emb, ids, scale) triples
+                # (store.iter_blocks(with_scales=True))
+                raise ValueError(
+                    "int8 block without a dequant scale: pass (emb, ids, "
+                    "scale) — see index/quantize.py"
+                )
             n_valid = emb.shape[0]
             # int8 blocks keep their dtype (the kernels upcast tiles to
             # bf16; compute_dtype would destroy the quantized values)

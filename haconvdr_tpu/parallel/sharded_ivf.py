@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from haconvdr_tpu.index.ivf import IVFIndex
+from haconvdr_tpu.index.ivf import IVFIndex, spherical_kmeans
 
 
 def _flat_mesh(mesh: Mesh) -> Mesh:
@@ -157,6 +157,253 @@ def _sharded_ivf_search(
         check_vma=False,
     )
     return fn(*args)
+
+
+# -- pod-scale build ---------------------------------------------------------
+#
+# Memory math at reference scale (SURVEY §6): QReCC 54,573,064 x 768.
+#   bf16 rows                = 83.9 GB
+#   IVF buckets at slack 1.3 = 109 GB bf16 / 54.5 GB int8 (+ tail)
+# The build below streams the corpus from disk in blocks, holding at most
+# ONE scatter chunk on the host (default 64k rows = 100 MB f32), and pushes
+# each row directly to its owning shard's device.  Per-shard device peak is
+# its own bucket slab + one chunk, so bf16 buckets fit a v5e-8 (8 x 16 GB =
+# 128 GB) with ~14 GB/shard and int8 fits a v5e-4 — the single-host
+# full-corpus buffer the round-2 serve path used (and its f32-bucket
+# footprint bug) is gone.  Disk is read three times (sample, assign,
+# scatter); all three passes are sequential streaming reads.
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_chunk(flat, flat_ids, rows, row_ids, slots):
+    """Scatter one padded chunk into a shard's flat row/id slabs.  Padded
+    entries carry slot == len(flat) (one past the end) and are dropped —
+    positive OOB, never a negative index (which jnp would wrap)."""
+    return (
+        flat.at[slots].set(rows, mode="drop"),
+        flat_ids.at[slots].set(row_ids, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("per_shard", "capacity"))
+def _split_shard(flat, flat_ids, per_shard, capacity):
+    pc = per_shard * capacity
+    return (
+        flat[:pc].reshape(per_shard, capacity, flat.shape[1]),
+        flat_ids[:pc].reshape(per_shard, capacity),
+        flat[pc:],
+        flat_ids[pc:],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nlist",))
+def _assign_chunk(xc, cent, nlist):
+    xc = xc.astype(jnp.float32)
+    xc = xc / jnp.maximum(jnp.linalg.norm(xc, axis=1, keepdims=True), 1e-6)
+    return jnp.argmax(xc @ cent.T, axis=1).astype(jnp.int32)
+
+
+def build_ivf_from_store(
+    mesh: Mesh,
+    store,  # EmbeddingBlockStore
+    nlist: int = 4096,
+    nprobe: int = 64,
+    slack: float = 1.3,
+    train_rows: int = 262_144,
+    kmeans_iters: int = 10,
+    dtype: str = "bfloat16",
+    seed: int = 0,
+    num_blocks: int = -1,
+    chunk_rows: int = 65_536,
+) -> IVFIndex:
+    """Mesh-sharded IVF build straight from an EmbeddingBlockStore — the
+    pod-scale replacement for ``index.ivf.build_ivf_device`` (single-HBM)
+    and for the faiss GPU shard clone it supersedes
+    (src/test_HAConvDR_topiocqa.py:55-66).
+
+    Layout matches :func:`shard_ivf`: shard ``s`` owns whole clusters
+    ``[s*nlist/n, (s+1)*nlist/n)`` (buckets sharded on the cluster axis)
+    plus a round-robin slice of the spill tail; centroids are replicated.
+    The returned IVFIndex is searched with :func:`sharded_ivf_search` and
+    returns results identical to a single-device build over the same data
+    (tests assert this on the virtual mesh).
+
+    Three streaming passes over the store: (0) strided k-means sample
+    (+ per-dim amax when ``dtype='int8'``), (1) chunked device-side
+    cluster assignment keeping only an int32 per row on the host, (2)
+    scatter — each block's rows are routed to their owning shard in
+    fixed-size padded chunks and folded into that shard's flat slab with a
+    donated in-place scatter.  The tail is sized to the measured spill
+    (no tail_frac guess, no overflow failure mode).
+    """
+    fmesh = _flat_mesh(mesh)
+    devices = list(fmesh.devices.reshape(-1))
+    n_shards = len(devices)
+    if nlist % n_shards:
+        raise ValueError(f"nlist ({nlist}) must divide shard count ({n_shards})")
+    jdt = jnp.dtype(dtype)
+    is_int8 = jdt == jnp.int8
+    if jdt not in (jnp.float32, jnp.bfloat16, jnp.int8):
+        raise ValueError("IVF bucket dtype must be float32/bfloat16/int8")
+
+    nb = store.num_blocks() if num_blocks < 0 else num_blocks
+    sizes = [store.block_size(b) for b in range(nb)]
+    N = int(sum(sizes))
+    if N < nlist:
+        raise ValueError(f"corpus has {N} rows < nlist={nlist}")
+    nprobe = min(nprobe, nlist)
+
+    # pass 0: strided sample for k-means (+ amax for the int8 scale)
+    stride = max(1, N // train_rows)
+    sample_parts = []
+    amax = None
+    for emb, _ids in store.iter_blocks(nb):
+        sample_parts.append(np.asarray(emb[::stride], np.float32))
+        if is_int8:
+            a = np.abs(np.asarray(emb, np.float32)).max(axis=0)
+            amax = a if amax is None else np.maximum(amax, a)
+    sample = np.concatenate(sample_parts)[: max(train_rows, nlist)]
+    D = sample.shape[1]
+    cent = spherical_kmeans(
+        jnp.asarray(sample), nlist, kmeans_iters, jax.random.PRNGKey(seed)
+    )
+    del sample_parts, sample
+    scale = None
+    if is_int8:
+        from haconvdr_tpu.index.quantize import encode_int8, scale_from_amax
+
+        scale = scale_from_amax(jnp.asarray(amax))
+        scale_np = np.asarray(scale)
+
+    # pass 1: chunked assignment; host keeps int32 per row (216 MB at 54M)
+    assign = np.empty((N,), np.int32)
+    ids_all = np.empty((N,), np.int64)
+    row = 0
+    for emb, ids in store.iter_blocks(nb):
+        ids_all[row : row + len(ids)] = ids
+        for s in range(0, emb.shape[0], chunk_rows):
+            xc = np.asarray(emb[s : s + chunk_rows], np.float32)
+            n = xc.shape[0]
+            if n < chunk_rows:  # fixed-shape jit: pad the last chunk
+                xc = np.concatenate(
+                    [xc, np.zeros((chunk_rows - n, D), np.float32)]
+                )
+            a = np.asarray(_assign_chunk(jnp.asarray(xc), cent, nlist))
+            assign[row + s : row + s + n] = a[:n]
+        row += emb.shape[0]
+    assert ids_all.max() < 2**31, "ids exceed int32 (IVF ids are int32)"
+
+    # destinations: rank-within-cluster in corpus order (same fill rule as
+    # build_ivf_device's stable sort), overflow round-robins to shard tails
+    capacity = int(np.ceil(N * slack / nlist))
+    capacity = max(8, -(-capacity // 8) * 8)
+    per_shard = nlist // n_shards
+    order = np.argsort(assign, kind="stable")
+    a_sorted = assign[order]
+    start = np.searchsorted(a_sorted, np.arange(nlist))
+    rank_sorted = np.arange(N, dtype=np.int64) - start[a_sorted]
+    rank = np.empty((N,), np.int64)
+    rank[order] = rank_sorted
+    in_bucket = rank < capacity
+    spill_rank = np.cumsum(~in_bucket) - 1  # corpus order
+    n_spill = int((~in_bucket).sum())
+    tail_per_shard = max(8, -(-(-(-n_spill // n_shards)) // 8) * 8)
+    flat_rows = per_shard * capacity + tail_per_shard
+    dest_shard = np.where(in_bucket, assign // per_shard, spill_rank % n_shards)
+    dest_slot = np.where(
+        in_bucket,
+        (assign % per_shard).astype(np.int64) * capacity + rank,
+        per_shard * capacity + spill_rank // n_shards,
+    ).astype(np.int32)
+
+    # pass 2: stream blocks, route rows to shards in fixed-size chunks
+    import ml_dtypes
+
+    if is_int8:
+        host_dt, dev_dt = np.int8, jnp.int8
+    elif jdt == jnp.bfloat16:
+        host_dt, dev_dt = ml_dtypes.bfloat16, jnp.bfloat16
+    else:
+        host_dt, dev_dt = np.float32, jnp.float32
+    flats = [
+        jax.device_put(jnp.zeros((flat_rows, D), dev_dt), devices[s])
+        for s in range(n_shards)
+    ]
+    flat_ids = [
+        jax.device_put(jnp.full((flat_rows,), -1, jnp.int32), devices[s])
+        for s in range(n_shards)
+    ]
+    row = 0
+    for emb, ids in store.iter_blocks(nb):
+        nrow = emb.shape[0]
+        blk_shard = dest_shard[row : row + nrow]
+        blk_slot = dest_slot[row : row + nrow]
+        for s in range(n_shards):
+            sel = np.flatnonzero(blk_shard == s)
+            for c0 in range(0, len(sel), chunk_rows):
+                idx = sel[c0 : c0 + chunk_rows]
+                n = len(idx)
+                rows_np = np.asarray(emb[idx], np.float32)
+                if is_int8:
+                    rows_np = np.asarray(encode_int8(rows_np, scale_np))
+                rows_np = rows_np.astype(host_dt)
+                slots_np = blk_slot[idx]
+                if n < chunk_rows:  # pad: slot == flat_rows drops (OOB)
+                    rows_np = np.concatenate(
+                        [rows_np, np.zeros((chunk_rows - n, D), host_dt)]
+                    )
+                    slots_np = np.concatenate(
+                        [slots_np, np.full((chunk_rows - n,), flat_rows, np.int32)]
+                    )
+                rid = ids_all[row + idx].astype(np.int32)
+                if n < chunk_rows:
+                    rid = np.concatenate(
+                        [rid, np.full((chunk_rows - n,), -1, np.int32)]
+                    )
+                flats[s], flat_ids[s] = _scatter_chunk(
+                    flats[s],
+                    flat_ids[s],
+                    jax.device_put(rows_np, devices[s]),
+                    jax.device_put(rid, devices[s]),
+                    jax.device_put(slots_np.astype(np.int32), devices[s]),
+                )
+        row += nrow
+
+    # assemble the globally-sharded IVFIndex (shard_ivf layout)
+    pieces = [
+        _split_shard(flats[s], flat_ids[s], per_shard, capacity)
+        for s in range(n_shards)
+    ]
+    buckets = jax.make_array_from_single_device_arrays(
+        (nlist, capacity, D),
+        NamedSharding(fmesh, P("d", None, None)),
+        [p[0] for p in pieces],
+    )
+    bucket_ids = jax.make_array_from_single_device_arrays(
+        (nlist, capacity),
+        NamedSharding(fmesh, P("d", None)),
+        [p[1] for p in pieces],
+    )
+    tail = jax.make_array_from_single_device_arrays(
+        (n_shards * tail_per_shard, D),
+        NamedSharding(fmesh, P("d", None)),
+        [p[2] for p in pieces],
+    )
+    tail_ids = jax.make_array_from_single_device_arrays(
+        (n_shards * tail_per_shard,),
+        NamedSharding(fmesh, P("d")),
+        [p[3] for p in pieces],
+    )
+    rep = NamedSharding(fmesh, P())
+    return IVFIndex(
+        centroids=jax.device_put(cent, rep),
+        buckets=buckets,
+        bucket_ids=bucket_ids,
+        tail=tail,
+        tail_ids=tail_ids,
+        nprobe=int(nprobe),
+        scale=None if scale is None else jax.device_put(scale, rep),
+    )
 
 
 def sharded_ivf_search(

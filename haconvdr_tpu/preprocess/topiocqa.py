@@ -126,10 +126,18 @@ def merge_rel_label_info(rel_file: str, orig_file: str, new_file: str) -> None:
         sid = rec["sample_id"]
         if "_" in sid:  # 'TopiOCQA-Train_conv_turn' layout
             conv_id, turn_id = sid.split("_")[-2:]
-        else:  # 'conv-turn' layout (records whose sample_id already uses
-            # the PRJ-stage id convention — the format the reference's own
-            # split('-') checks at :175-180 expect)
+        elif "-" in sid:  # 'conv-turn' layout (records whose sample_id
+            # already uses the PRJ-stage id convention — the format the
+            # reference's own split('-') checks at :175-180 expect)
             conv_id, turn_id = sid.split("-")[0], sid.split("-")[-1]
+        else:
+            # neither layout: conv_id == turn_id == sid would slip past
+            # the turn_id != "1" gate and mis-merge positionally — fail
+            # loudly instead
+            raise ValueError(
+                f"unrecognized sample_id layout {sid!r}: expected "
+                "'Name_conv_turn' or 'conv-turn'"
+            )
         if turn_id != "1":
             # positional alignment with a conv/turn sanity check (the
             # reference's string-format check at :175-176 can never match

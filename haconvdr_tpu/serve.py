@@ -36,11 +36,15 @@ class Retriever:
     ShardedIndex (fastest exact path; needs the corpus to fit — bf16
     halves it, store_dtype="int8" quarters it); ``resident=False``
     streams blocks per search (BlockSearcher).  ``ivf=True`` REPLACES the
-    exact index with the cluster-pruned serving structure (index/ivf.py),
-    built on device from the store at load time: ~4.6x lower single-query
-    latency at an nprobe-controlled recall (beyond the reference, which
-    only has the exact scan).  Build a second Retriever without ``ivf``
-    when exact batch evaluation is also needed.
+    exact index with the cluster-pruned serving structure, built
+    MESH-SHARDED straight from the store at load time
+    (parallel/sharded_ivf.py:build_ivf_from_store — cluster-axis bucket
+    layout, no single-host corpus buffer, capacity scales with pod HBM):
+    ~4.6x lower single-query latency at an nprobe-controlled recall
+    (beyond the reference, which only has the exact scan).
+    ``store_dtype`` applies to the IVF buckets too ("int8" builds
+    quantized buckets).  Build a second Retriever without ``ivf`` when
+    exact batch evaluation is also needed.
     """
 
     def __init__(
@@ -69,40 +73,30 @@ class Retriever:
 
         self.ivf_index = None
         if ivf:  # cluster-pruned serving: replaces the flat index
-            import jax.numpy as jnp
+            from haconvdr_tpu.parallel.sharded_ivf import build_ivf_from_store
 
-            from haconvdr_tpu.index.ivf import build_ivf_device
-
-            # one preallocated host buffer (block sizes from headers), one
-            # device transfer; clustering/assignment/reorder then run
-            # entirely on device (build_ivf_device) — the host builder's
-            # per-row Python loop takes minutes at corpus scale
+            # mesh-sharded build straight from the store: rows stream from
+            # disk to their owning shard's device — no single-host corpus
+            # buffer, so capacity is the POD's HBM, not one chip's (54M
+            # bf16 buckets ≈ 109 GB fit a v5e-8; int8 a v5e-4 — memory
+            # math in parallel/sharded_ivf.py).  store_dtype carries
+            # through: "int8" builds quantized buckets (a global per-dim
+            # scale folded into queries at search), not silently-f32 ones.
             n_blocks = store.num_blocks()
-            sizes = [store.block_size(b) for b in range(n_blocks)]
-            n_valid = sum(sizes)
-            bucket_dt = jnp.bfloat16 if store_dtype == "bfloat16" else jnp.float32
-            buf = None
-            ids_buf = np.empty((n_valid,), np.int32)
-            row = 0
-            for emb, ids in store.iter_blocks():
-                if buf is None:
-                    import ml_dtypes
-
-                    np_dt = (
-                        ml_dtypes.bfloat16 if bucket_dt == jnp.bfloat16
-                        else np.float32
-                    )
-                    buf = np.empty((n_valid, emb.shape[1]), np_dt)
-                buf[row : row + emb.shape[0]] = emb
-                ids_buf[row : row + emb.shape[0]] = ids
-                row += emb.shape[0]
-            self.ivf_index = build_ivf_device(
-                jnp.asarray(buf),
-                nlist=min(ivf_nlist, max(1, n_valid // 8)),
-                nprobe=ivf_nprobe,
-                ids=jnp.asarray(ids_buf),
+            n_valid = sum(store.block_size(b) for b in range(n_blocks))
+            n_shards = int(np.prod(self.mesh.devices.shape))
+            req_nlist = min(ivf_nlist, max(1, n_valid // 8))
+            nlist = max(n_shards, (req_nlist // n_shards) * n_shards)
+            # "probe everything" requests survive the shard-divisibility
+            # rounding of nlist
+            nprobe = nlist if ivf_nprobe >= req_nlist else ivf_nprobe
+            self.ivf_index = build_ivf_from_store(
+                self.mesh,
+                store,
+                nlist=nlist,
+                nprobe=nprobe,
+                dtype=store_dtype,
             )
-            del buf
             self.index = None
             self.store = None
             return
@@ -184,9 +178,11 @@ class Retriever:
     ) -> Tuple[np.ndarray, np.ndarray]:
         k = k or self.search_cfg.top_k
         if self.ivf_index is not None:
-            from haconvdr_tpu.index.ivf import ivf_search
+            from haconvdr_tpu.parallel.sharded_ivf import sharded_ivf_search
 
-            scores, ids = ivf_search(self.ivf_index, query_embs, k=k)
+            scores, ids = sharded_ivf_search(
+                self.mesh, self.ivf_index, query_embs, k=k
+            )
         elif self.index is not None:
             scores, ids = self.index.search(query_embs, k)
         else:

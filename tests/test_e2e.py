@@ -381,3 +381,34 @@ def test_retriever_int8_resident(pipeline):
     valid = set(corpus.offset2pid())
     assert all(pid in valid for pid, _ in hits)
     assert all(np.isfinite(s) for _, s in hits)
+
+
+def test_retriever_ivf_int8(pipeline):
+    """Retriever(ivf=True, store_dtype='int8') must build QUANTIZED IVF
+    buckets (round-2 advisor finding: the int8 request was silently
+    dropped and f32 buckets were built, 4x the advertised footprint)."""
+    tmp, tok, mcfg, params, corpus, mesh = pipeline
+    import jax.numpy as jnp
+
+    from haconvdr_tpu.config import DataConfig, SearchConfig
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+    from haconvdr_tpu.serve import Retriever
+
+    store = EmbeddingBlockStore(str(tmp / "embeds"))
+    r = Retriever(
+        tok, params, mcfg, store,
+        offset2pid=corpus.offset2pid(),
+        data_cfg=DataConfig(
+            is_train=False, use_PRL=False,
+            max_query_length=16, max_doc_length=16, max_concat_length=24,
+        ),
+        search_cfg=SearchConfig(top_k=5, per_device_test_batch_size=1),
+        ivf=True, ivf_nlist=8, ivf_nprobe=8, store_dtype="int8",
+    )
+    assert r.ivf_index.buckets.dtype == jnp.int8
+    assert r.ivf_index.scale is not None
+    hits = r.retrieve(_passage_text(12))
+    assert len(hits) == 5
+    valid = set(corpus.offset2pid())
+    assert all(pid in valid for pid, _ in hits)
+    assert all(np.isfinite(s) for _, s in hits)

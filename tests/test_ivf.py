@@ -288,3 +288,102 @@ def test_device_build_trims_tail_to_spill(rng):
     s, i = ivf_search(index, q, k=7)
     rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(x), 7)
     np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5)
+
+
+def _write_store(tmp_path, rng, x, n_blocks=3, name="ivf_store"):
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+
+    store = EmbeddingBlockStore(str(tmp_path / name))
+    n = x.shape[0]
+    per = -(-n // n_blocks)
+    row = 0
+    for b in range(n_blocks):
+        blk = x[row : row + per]
+        store.write_block(b, blk, np.arange(row, row + len(blk), dtype=np.int64))
+        row += len(blk)
+    return store
+
+
+def test_sharded_build_from_store_matches_single_device(rng, tmp_path):
+    """build_ivf_from_store (pod-scale, no single-host corpus buffer) must
+    return search results identical to the single-device host build over
+    the same data: with N <= train_rows both k-means runs see the whole
+    corpus in the same order, so centroids/assignments/bucket contents
+    coincide (tail order differs — the tail is fully scanned)."""
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import (
+        build_ivf_from_store,
+        sharded_ivf_search,
+    )
+
+    n, d, k = 3000, 32, 10
+    x = _mixture(rng, n, d, n_modes=24)
+    q = _mixture(rng, 6, d, n_modes=24)
+    store = _write_store(tmp_path, rng, x)
+    mesh = make_mesh()
+
+    sharded = build_ivf_from_store(
+        mesh, store, nlist=32, nprobe=6, slack=1.3, seed=5,
+        dtype="float32", chunk_rows=512,
+    )
+    single = build_ivf(x, nlist=32, nprobe=6, slack=1.3, seed=5)
+
+    # same centroids (same sample, same seed) => same partition
+    np.testing.assert_allclose(
+        np.asarray(sharded.centroids), np.asarray(single.centroids), rtol=1e-5
+    )
+    # every row lands exactly once across buckets + tail
+    all_ids = np.concatenate(
+        [np.asarray(sharded.bucket_ids).reshape(-1), np.asarray(sharded.tail_ids)]
+    )
+    real = all_ids[all_ids >= 0]
+    assert len(real) == n and len(set(real.tolist())) == n
+
+    s1, i1 = ivf_search(single, q, k=k)
+    s2, i2 = sharded_ivf_search(mesh, sharded, q, k=k)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+    for r in range(len(q)):
+        assert set(i1[r].tolist()) == set(i2[r].tolist())
+
+    # full probe == exact oracle through the sharded-build index
+    s3, i3 = sharded_ivf_search(mesh, sharded, q, k=k, nprobe=32)
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(x), k)
+    np.testing.assert_allclose(s3, np.asarray(rs), rtol=1e-5)
+    for r in range(len(q)):
+        assert set(i3[r].tolist()) == set(np.asarray(ri)[r].tolist())
+
+
+def test_sharded_build_int8_and_guards(rng, tmp_path):
+    """dtype='int8' builds quantized buckets (global per-dim scale, folded
+    into queries at search) with float-index-level ranking; nlist must
+    divide the shard count; bf16 buckets carry the right dtype."""
+    import pytest as _pytest
+
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import (
+        build_ivf_from_store,
+        sharded_ivf_search,
+    )
+
+    n, d, k = 2000, 32, 10
+    x = _mixture(rng, n, d, n_modes=24)
+    q = _mixture(rng, 6, d, n_modes=24)
+    store = _write_store(tmp_path, rng, x, name="ivf_store8")
+    mesh = make_mesh()
+
+    with _pytest.raises(ValueError, match="divide"):
+        build_ivf_from_store(mesh, store, nlist=12)
+
+    i8 = build_ivf_from_store(
+        mesh, store, nlist=16, nprobe=16, dtype="int8", chunk_rows=512
+    )
+    assert i8.buckets.dtype == jnp.int8 and i8.scale is not None
+    sf = build_ivf_from_store(
+        mesh, store, nlist=16, nprobe=16, dtype="bfloat16", chunk_rows=512
+    )
+    assert sf.buckets.dtype == jnp.bfloat16
+    s_f, i_f = sharded_ivf_search(mesh, sf, q, k=k)
+    s_q, i_q = sharded_ivf_search(mesh, i8, q, k=k)
+    overlap = np.mean([len(set(i_f[r]) & set(i_q[r])) / k for r in range(6)])
+    assert overlap >= 0.8, overlap
+    np.testing.assert_allclose(s_q, s_f, rtol=0.05, atol=0.05)
