@@ -5,8 +5,10 @@ Two subcommands (first positional arg):
   index   — build a BM25 index from a collection TSV
             (bm25.index_dir_path=..., data.collection_path=...)
   search  — run batch retrieval with a query-construction mode
-            (query_type raw|rewrite|convq|convqa|convqp|oracle, optional
-            PRJ-filtered expansion via prj_file=...)
+            (query_type raw|rewrite|convq|convqa|convqp|oracle|decode,
+            optional PRJ-filtered expansion via prj_file=...; decode mode
+            takes eval_type=answer|oracle+answer with a second decoding
+            file decode_file=..., bm25/bm25_topiocqa.py:135-142)
 
 The TREC output mirrors the reference line layout
 (bm25/bm25_topiocqa.py:157-170).
@@ -26,10 +28,29 @@ logger = logging.getLogger(__name__)
 
 
 def build_query(
-    record: dict, query_type: str, prj: Optional[dict] = None, level: str = "turn"
+    record: dict,
+    query_type: str,
+    prj: Optional[dict] = None,
+    level: str = "turn",
+    decode2: Optional[dict] = None,
+    eval_type: str = "",
 ) -> str:
     """Query text construction per mode with optional PRJ-label filtering
-    (bm25/bm25_topiocqa.py:43-148)."""
+    (bm25/bm25_topiocqa.py:43-148).
+
+    ``decode`` mode (bm25/bm25_topiocqa.py:135-142, bm25_qrecc.py:102-109):
+    the main file's ``oracle_utt_text`` (an external query decoder's
+    output), optionally overridden/extended by a SECOND decoding file's
+    ``answer_utt_text`` — eval_type "answer" replaces, "oracle+answer"
+    concatenates.  No 510-token clip in this mode, as in the reference.
+    """
+    if query_type == "decode":
+        query = record["oracle_utt_text"]
+        if eval_type == "answer":
+            query = decode2["answer_utt_text"]
+        elif eval_type == "oracle+answer":
+            query = query + " " + decode2["answer_utt_text"]
+        return query
     if query_type == "raw":
         return record["query"]
     if query_type in ("rewrite", "oracle"):
@@ -90,7 +111,13 @@ def main(argv=None):
     extra = {}
     rest = []
     for a in argv[1:]:
-        if any(a.startswith(p + "=") for p in ("query_type", "prj_file", "level", "output_trec")):
+        if any(
+            a.startswith(p + "=")
+            for p in (
+                "query_type", "prj_file", "level", "output_trec",
+                "decode_file", "eval_type",
+            )
+        ):
             k, _, v = a.partition("=")
             extra[k] = v
         else:
@@ -119,9 +146,25 @@ def main(argv=None):
         prj = prj_recs
     query_type = extra.get("query_type", "rewrite")
     level = extra.get("level", "turn")
+    eval_type = extra.get("eval_type", "")
+    decode2 = None
+    if "decode_file" in extra:
+        # second decoding file: answer_utt_text per line, aligned with the
+        # main file (bm25/bm25_topiocqa.py:28-29)
+        decode2 = read_jsonl_list(extra["decode_file"])
+        assert len(decode2) == len(records)
+    if query_type == "decode" and eval_type in ("answer", "oracle+answer"):
+        assert decode2 is not None, (
+            "eval_type=answer/oracle+answer needs decode_file=..."
+        )
     queries, qids = [], []
     for i, rec in enumerate(records):
-        queries.append(build_query(rec, query_type, prj[i] if prj else None, level))
+        queries.append(
+            build_query(
+                rec, query_type, prj[i] if prj else None, level,
+                decode2=decode2[i] if decode2 else None, eval_type=eval_type,
+            )
+        )
         qids.append(rec.get("sample_id") or rec.get("id"))
 
     docs, scores = idx.batch_search(

@@ -136,3 +136,46 @@ def test_nl_query_format():
     assert not is_nl_query("tell me about x")
     assert format_nl_query("what is this?") == "What is this?"
     assert format_nl_query("tell me") == "Tell me."
+
+
+def test_bm25_decode_mode_cli(tmp_path):
+    """decode query mode through the CLI: the query comes from
+    oracle_utt_text / the second decoding file's answer_utt_text
+    (bm25/bm25_topiocqa.py:135-142, :28-29)."""
+    coll = _collection(tmp_path)
+    idx_dir = str(tmp_path / "bm25_idx2")
+    bm25_main(["index", f"data.collection_path={coll}",
+               f"bm25.index_dir_path={idx_dir}"])
+    query_file = str(tmp_path / "dec_queries.json")
+    write_jsonl(
+        [{"sample_id": "1_1", "oracle_utt_text": "content about topic5",
+          "query": "ignored"}],
+        query_file,
+    )
+    decode_file = str(tmp_path / "dec2.json")
+    write_jsonl([{"answer_utt_text": "content about topic9"}], decode_file)
+
+    run = str(tmp_path / "dec.trec")
+    bm25_main([
+        "search", f"bm25.index_dir_path={idx_dir}",
+        f"data.test_file_path={query_file}", "query_type=decode",
+        f"output_trec={run}", "bm25.top_k=3",
+    ])
+    assert open(run).read().splitlines()[0].split()[2] == "5"  # oracle text
+
+    bm25_main([
+        "search", f"bm25.index_dir_path={idx_dir}",
+        f"data.test_file_path={query_file}", "query_type=decode",
+        "eval_type=answer", f"decode_file={decode_file}",
+        f"output_trec={run}", "bm25.top_k=3",
+    ])
+    assert open(run).read().splitlines()[0].split()[2] == "9"  # answer text
+
+    bm25_main([
+        "search", f"bm25.index_dir_path={idx_dir}",
+        f"data.test_file_path={query_file}", "query_type=decode",
+        "eval_type=oracle+answer", f"decode_file={decode_file}",
+        f"output_trec={run}", "bm25.top_k=3",
+    ])
+    top2 = {l.split()[2] for l in open(run).read().splitlines()[:2]}
+    assert top2 == {"5", "9"}  # both texts contribute

@@ -1488,3 +1488,55 @@ def test_qrecc_doc_extract_and_reformulate_match_reference(tmp_path):
     # pinned: reference's idx=0 reads the CURRENT record; ours the history
     assert ref_f[1]["pseudo_prepos_docs_pids"] == [2]
     assert our_f[1]["pseudo_prepos_docs_pids"] == [1]
+
+
+def test_bm25_decode_mode_matches_reference():
+    """BM25 ``decode`` query mode + eval_type answer / oracle+answer
+    (/root/reference/bm25/bm25_topiocqa.py:135-142; same block in
+    bm25_qrecc.py:102-109): the branch is AST-extracted from the
+    reference's main() (its module imports pyserini, not installed) and
+    executed against fabricated records; build_query must assemble
+    byte-identical query text for all three eval_type settings."""
+    import ast as ast_mod
+
+    path = "/root/reference/bm25/bm25_topiocqa.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not mounted")
+    tree = ast_mod.parse(open(path).read())
+
+    decode_body = None
+    for node in ast_mod.walk(tree):
+        if (
+            isinstance(node, ast_mod.If)
+            and isinstance(node.test, ast_mod.Compare)
+            and isinstance(node.test.comparators[0], ast_mod.Constant)
+            and node.test.comparators[0].value == "decode"
+        ):
+            decode_body = node.body
+            break
+    assert decode_body is not None, "decode branch not found in reference"
+
+    from haconvdr_tpu.cli.bm25_search import build_query
+
+    record = {"oracle_utt_text": "who wrote the raven", "sample_id": "1_1"}
+    answer = {"answer_utt_text": "edgar allan poe wrote it"}
+    for eval_type in ("", "answer", "oracle+answer"):
+        ns = {
+            "json": json,
+            "record": dict(record),
+            "data_2": [json.dumps(answer)],  # raw line, json.loads'd by ref
+            "i": 0,
+            "args": Namespace(query_type="decode", eval_type=eval_type),
+        }
+        exec(
+            compile(
+                ast_mod.Module(body=decode_body, type_ignores=[]),
+                path,
+                "exec",
+            ),
+            ns,
+        )
+        ours = build_query(
+            dict(record), "decode", decode2=dict(answer), eval_type=eval_type
+        )
+        assert ours == ns["query"], (eval_type, ours, ns["query"])
