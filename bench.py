@@ -87,17 +87,13 @@ def bench_streaming(jax, jnp):
     np.asarray(s[:1, :1])
     res_el = (time.time() - t0) / reps
 
-    print(
-        json.dumps(
-            {
-                "metric": "flat_ip_top100_streaming_qps_4blocks_2.5M",
-                "value": round(N_QUERIES / stream_el, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(N_QUERIES / stream_el / BASELINE_QPS, 3),
-                "overhead_vs_resident": round(stream_el / res_el, 3),
-            }
-        )
-    )
+    return {
+        "metric": "flat_ip_top100_streaming_qps_4blocks_2.5M",
+        "value": round(N_QUERIES / stream_el, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(N_QUERIES / stream_el / BASELINE_QPS, 3),
+        "overhead_vs_resident": round(stream_el / res_el, 3),
+    }
 
 
 def bench_latency(jax, jnp):
@@ -130,16 +126,12 @@ def bench_latency(jax, jnp):
         s, i = pallas_topk_block(query, passages, nv, TOP_K)
     np.asarray(s[:1, :1])
     ms = (time.time() - t0) / reps * 1000.0
-    print(
-        json.dumps(
-            {
-                "metric": "flat_ip_top100_single_query_ms_2.5M",
-                "value": round(ms, 2),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_SINGLE_QUERY_MS / ms, 3),
-            }
-        )
-    )
+    return {
+        "metric": "flat_ip_top100_single_query_ms_2.5M",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_SINGLE_QUERY_MS / ms, 3),
+    }
 
 
 def bench_ivf(jax, jnp):
@@ -213,17 +205,13 @@ def bench_ivf(jax, jnp):
         ss, ii = _ivf_search_one(arrays, one_q, TOP_K, 64)
     np.asarray(ss[:1])
     ms = (time.time() - t0) / reps * 1000.0
-    print(
-        json.dumps(
-            {
-                "metric": "ivf_single_query_ms_2.5M_nprobe64of4096",
-                "value": round(ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_SINGLE_QUERY_MS / ms, 2),
-                "recall_at_100_vs_exact": round(recall, 4),
-            }
-        )
-    )
+    return {
+        "metric": "ivf_single_query_ms_2.5M_nprobe64of4096",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_SINGLE_QUERY_MS / ms, 2),
+        "recall_at_100_vs_exact": round(recall, 4),
+    }
 
 
 def main():
@@ -239,33 +227,39 @@ def main():
 
     import jax.numpy as jnp
 
-    if os.environ.get("BENCH_STREAM"):
-        if jax.devices()[0].platform == "tpu":
-            return bench_streaming(jax, jnp)
-        print(
-            "BENCH_STREAM requires a TPU; running the resident-block "
-            "smoke benchmark instead",
-            file=sys.stderr,
-        )
-    if os.environ.get("BENCH_LATENCY"):
-        if jax.devices()[0].platform == "tpu":
-            return bench_latency(jax, jnp)
-        print(
-            "BENCH_LATENCY requires a TPU; running the resident-block "
-            "smoke benchmark instead",
-            file=sys.stderr,
-        )
-    if os.environ.get("BENCH_IVF"):
-        if jax.devices()[0].platform == "tpu":
-            return bench_ivf(jax, jnp)
-        print(
-            "BENCH_IVF requires a TPU; running the resident-block "
-            "smoke benchmark instead",
-            file=sys.stderr,
-        )
+    modes = {
+        "stream": bench_streaming,
+        "latency": bench_latency,
+        "ivf": bench_ivf,
+    }
+    on_tpu = jax.devices()[0].platform == "tpu"
 
-    dev = jax.devices()[0]
-    on_tpu = dev.platform == "tpu"
+    if os.environ.get("BENCH_ALL"):
+        # one structured record per mode, one JSON line each; the
+        # driver-parsed headline (flat f32 QPS) stays the FINAL line
+        rows = []
+        if on_tpu:
+            rows.append(bench_flat(jax, jnp, jnp.bfloat16))
+            rows.append(bench_flat(jax, jnp, jnp.int8))
+            rows.append(bench_latency(jax, jnp))
+            rows.append(bench_streaming(jax, jnp))
+            rows.append(bench_ivf(jax, jnp))
+        rows.append(bench_flat(jax, jnp, jnp.float32))
+        for r in rows:
+            print(json.dumps(r))
+        return
+
+    for name, fn in modes.items():
+        if os.environ.get("BENCH_" + name.upper()):
+            if on_tpu:
+                print(json.dumps(fn(jax, jnp)))
+                return
+            print(
+                f"BENCH_{name.upper()} requires a TPU; running the "
+                "resident-block smoke benchmark instead",
+                file=sys.stderr,
+            )
+
     if os.environ.get("BENCH_INT8"):
         dtype = jnp.int8  # quantized index (index/quantize.py): 4x less
         # HBM than f32; queries carry the folded scales, so random bf16
@@ -274,10 +268,23 @@ def main():
         dtype = jnp.bfloat16
     else:
         dtype = jnp.float32
+    print(json.dumps(bench_flat(jax, jnp, dtype)))
 
+
+def bench_flat(jax, jnp, dtype):
+    """Resident-block flat-IP top-100 QPS (the headline metric)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         n_valid, p_tile = N_PASSAGES, 2048
-        from haconvdr_tpu.ops.pallas_topk import pallas_topk_block as block_fn
+        kernel = os.environ.get("BENCH_KERNEL", "v3")
+        if kernel == "v4":
+            from haconvdr_tpu.ops.pallas_topk_v4 import (
+                pallas_topk_block_v4 as block_fn,
+            )
+        else:
+            from haconvdr_tpu.ops.pallas_topk import (
+                pallas_topk_block as block_fn,
+            )
 
         n_pad = -(-n_valid // p_tile) * p_tile
 
@@ -318,16 +325,16 @@ def main():
     # scale CPU smoke numbers to the full block size for comparability
     qps_full_block = qps * (n_valid / N_PASSAGES)
 
-    print(
-        json.dumps(
-            {
-                "metric": "flat_ip_top100_qps_per_chip_2.5M",
-                "value": round(qps_full_block, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(qps_full_block / BASELINE_QPS, 3),
-            }
-        )
-    )
+    name = {
+        jnp.int8: "flat_ip_top100_qps_per_chip_2.5M_int8",
+        jnp.bfloat16: "flat_ip_top100_qps_per_chip_2.5M_bf16",
+    }.get(dtype, "flat_ip_top100_qps_per_chip_2.5M")
+    return {
+        "metric": name,
+        "value": round(qps_full_block, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps_full_block / BASELINE_QPS, 3),
+    }
 
 
 if __name__ == "__main__":

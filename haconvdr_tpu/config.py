@@ -138,6 +138,13 @@ class TrainConfig:
     alpha: float = 1.0  # pseudo-prepos weight (src/train_HAConvDR_topiocqa.py:66)
     is_pseudo_prepos: bool = False
     is_prepos_neg: bool = True
+    # compute dtype for the FROZEN passage towers only ("" = model dtype).
+    # They carry no gradients (stop_gradient), so "bfloat16" routes them
+    # through the fused inference attention kernel + bf16 carry — the same
+    # optimization that took corpus encode 0.40->0.74 Mtok/s — while the
+    # trained query tower keeps full-precision grads.  Set "" for bitwise
+    # loss parity with the all-f32 reference semantics.
+    frozen_dtype: str = ""
     model_output_path: str = "output/model"
     seed: int = 42
 

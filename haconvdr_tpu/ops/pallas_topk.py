@@ -27,6 +27,24 @@ inserted so far and rounds continue until no remaining score can enter.
 Tie-break note: equal scores resolve by extraction order (earlier tile
 first, then argmax's lane order), matching the reference's
 earlier-block-wins merge (":131-149") at block granularity.
+
+Presample threshold seeding (round 3): OFF by default — implemented,
+exactness-proven and tested, but MEASURED NOT WORTH IT.  A pre-pass
+scores a ~1.5% per-tile-prefix sample with one XLA matmul and seeds every
+buffer slot with each query's k-th sample score minus a safety margin — a
+strict lower bound on the true k-th, so exactness holds, and since at
+least k block rows beat the seed (the sampled top-k themselves) while
+seeds always occupy the buffer argmin, the sliced top-k never contains
+the -1 seed sentinel.  On-chip bisection at 2.5M bf16 x 2048 queries:
+the seed saves only ~4 ms of kernel time (96 vs 100 ms) — the dynamic
+row-min already tightens past any static sample bound after the early
+tiles, and the 256-row-lockstep exactness rounds fire on nearly every
+(tile, subtile) cell regardless of threshold (some row of the 256 always
+has a contended segment) — while the pre-pass itself costs ~33 ms (the
+wide sample top-k dominates).  Net: 100 -> 125 ms.  The round-2 ceiling
+analysis stands; the structural fix is the v4 window-top-2 kernel
+(ops/pallas_topk_v4.py), which removes the insert/round machinery
+entirely instead of trying to starve it.
 """
 
 from __future__ import annotations
@@ -153,7 +171,9 @@ def _topk_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "q_tile", "p_tile", "q_panel", "seg_width", "interpret"),
+    static_argnames=(
+        "k", "q_tile", "p_tile", "q_panel", "seg_width", "presample", "interpret"
+    ),
 )
 def pallas_topk_block(
     queries: jax.Array,  # [Q, D]
@@ -164,6 +184,7 @@ def pallas_topk_block(
     p_tile: int = 0,
     q_panel: int = 0,
     seg_width: int = 0,
+    presample: int = 0,  # sample rows per p_tile; 0 off (see docstring)
     init_scores: Optional[jax.Array] = None,  # [Q, >=k] running thresholds
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -211,6 +232,51 @@ def pallas_topk_block(
         init = init.at[:Q, : init_scores.shape[1]].set(
             init_scores.astype(jnp.float32)
         )
+    elif presample != 0:
+        # threshold pre-pass (see module docstring): one XLA matmul over a
+        # per-tile-prefix sample, per-query k-th sample score - margin as a
+        # uniform seed.  Auto: 16 rows per 1024-row tile (~1.6%) once the
+        # block is big enough for the ramp to matter.
+        spp = 16 * max(1, p_tile // 1024) if presample < 0 else presample
+        spp = min(spp, p_tile)
+        nt = N // p_tile
+        if (presample < 0 and N < (1 << 18)) or nt * spp < k:
+            seeded = False
+        else:
+            from haconvdr_tpu.ops.topk import _chunk_topk
+
+            sample = passages.reshape(nt, p_tile, D)[:, :spp, :].reshape(
+                nt * spp, D
+            )
+            if sample.dtype == jnp.int8:
+                sample = sample.astype(jnp.bfloat16)
+            s_scores = jax.lax.dot_general(
+                queries,
+                sample,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Qp, S]
+            samp_idx = (
+                jnp.arange(nt, dtype=jnp.int32)[:, None] * p_tile
+                + jnp.arange(spp, dtype=jnp.int32)[None, :]
+            ).reshape(-1)
+            s_scores = jnp.where(
+                samp_idx[None, :] < jnp.asarray(n_valid, jnp.int32),
+                s_scores,
+                NEG_INF,
+            )
+            padc = -s_scores.shape[1] % 128
+            if padc:
+                s_scores = jnp.pad(
+                    s_scores, ((0, 0), (0, padc)), constant_values=NEG_INF
+                )
+            vk = _chunk_topk(s_scores, k, 128)[0][:, k - 1]  # [Qp]
+            # margin >> any accumulation-order ulp drift between this
+            # matmul and the kernel's; lowering t only costs tightness
+            t = vk - (jnp.abs(vk) + 1.0) * 1e-5
+            t = jnp.where(jnp.isfinite(vk), t, NEG_INF)
+            init = jnp.broadcast_to(t[:, None], (Qp, K)).astype(jnp.float32)
+            seeded = True
 
     def run_panel(c0: int, c1: int) -> Tuple[jax.Array, jax.Array]:
         panel = queries[c0:c1]

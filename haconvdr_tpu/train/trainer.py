@@ -117,6 +117,16 @@ def make_train_step(
     """
     data_sharding = NamedSharding(mesh, P("dp", None))
     K = train_cfg.accumulation_steps
+    # frozen towers: no grads flow (stop_gradient + zero-tangent params),
+    # so they may run a faster compute dtype + the fused inference
+    # attention kernel without touching the trained tower's numerics
+    frozen_cfg = model_cfg
+    if train_cfg.frozen_dtype and train_cfg.frozen_dtype != model_cfg.dtype:
+        import dataclasses
+
+        frozen_cfg = dataclasses.replace(
+            model_cfg, dtype=train_cfg.frozen_dtype
+        )
 
     def loss_fn(params, frozen_params, batch, dropout_rng):
         # query tower in train mode (dropout active,
@@ -129,7 +139,7 @@ def make_train_step(
         sg = jax.lax.stop_gradient
 
         def frozen_encode(ids, mask):
-            return sg(encode(frozen_params, model_cfg, ids, mask))
+            return sg(encode(frozen_params, frozen_cfg, ids, mask))
 
         pos = frozen_encode(batch["pos_docs"], batch["pos_docs_mask"])
         neg_ids, neg_mask = batch["neg_docs"], batch["neg_docs_mask"]

@@ -269,6 +269,62 @@ def test_cross_block_tie_earlier_block_wins(rng):
     assert len(set(i2[0])) == k
 
 
+def test_pallas_presample_matches_oracle(rng):
+    """Threshold pre-pass seeding (round-3): forced on at small scale, the
+    result must still be the exact oracle top-k with all-real ids."""
+    Q, N, D, k = 128, 2048, 32, 10
+    q = rng.randn(Q, D).astype(np.float32)
+    p = rng.randn(N, D).astype(np.float32)
+    s, i = _run(q, p, N, k, q_tile=64, p_tile=256, presample=64)
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    assert np.all(np.asarray(i) >= 0)
+
+
+def test_pallas_presample_ties_and_n_valid(rng):
+    """Presample + heavy exact ties + padded invalid rows that would win:
+    membership must match the oracle over the valid prefix, with no seed
+    sentinels leaking into the sliced top-k."""
+    Q, D, k = 32, 16, 8
+    n_base, n_rep = 16, 16
+    base = rng.randn(n_base, D).astype(np.float32)
+    base = np.asarray(jnp.asarray(base, jnp.bfloat16).astype(jnp.float32))
+    p = np.repeat(base, n_rep, axis=0)
+    p = np.ascontiguousarray(p[rng.permutation(p.shape[0])])
+    n_valid = 200
+    p[n_valid:] *= 50.0  # invalid rows would dominate if unmasked
+    q = rng.randn(Q, D).astype(np.float32)
+    s, i = _run(q, p, n_valid, k, q_tile=32, p_tile=128, presample=32)
+    rs, _ = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p[:n_valid]), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    i = np.asarray(i)
+    assert np.all((i >= 0) & (i < n_valid))
+    full = q @ p[:n_valid].T
+    for r in range(Q):
+        np.testing.assert_allclose(
+            full[r, i[r]], np.asarray(s)[r], rtol=1e-5
+        )
+
+
+def test_pallas_presample_uniform_corpus(rng):
+    """Adversarial for seeding: every row identical (one giant tie class).
+    The proof obligation is that seeds are always evicted before the
+    sliced top-k — ids must be real rows even when all scores equal the
+    sample threshold's source value."""
+    Q, N, D, k = 16, 1024, 8, 6
+    row = rng.randn(D).astype(np.float32)
+    p = np.tile(row, (N, 1))
+    q = rng.randn(Q, D).astype(np.float32)
+    s, i = _run(q, p, N, k, q_tile=16, p_tile=256, presample=16)
+    i = np.asarray(i)
+    assert np.all((i >= 0) & (i < N))
+    expect = (q @ row)[:, None]
+    np.testing.assert_allclose(np.asarray(s), np.tile(expect, (1, k)), rtol=1e-5)
+    for r in range(Q):
+        assert len(set(i[r])) == k
+
+
 def test_pallas_int8_matches_dequantized_oracle(rng):
     """int8 index tiles (index/quantize.py): the kernel upcasts to bf16 in
     VMEM; with the per-dim scale pre-folded into the queries the result is
@@ -281,6 +337,105 @@ def test_pallas_int8_matches_dequantized_oracle(rng):
     int8_rows, scale = quantize_int8(emb)
     q_folded = (queries * scale[None, :]).astype(np.float32)
     s, i = _run(q_folded, int8_rows, N, k, q_tile=64, p_tile=256)
+    qf = jnp.asarray(q_folded, jnp.bfloat16).astype(jnp.float32)
+    full = jnp.dot(qf, jnp.asarray(int8_rows, jnp.float32).T)
+    rs, ri = jax.lax.top_k(full, k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_pallas_v4_matches_oracle(rng):
+    """v4 window-top-2 kernel (ops/pallas_topk_v4.py): oracle equality on
+    random data, n_valid masking, and exact ids."""
+    from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
+
+    Q, N, D, k = 128, 2048, 32, 10
+    q = rng.randn(Q, D).astype(np.float32)
+    p = rng.randn(N, D).astype(np.float32)
+    s, i = pallas_topk_block_v4(
+        jnp.asarray(q), jnp.asarray(p), N, k,
+        q_tile=64, p_tile=256, interpret=True,
+    )
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+    p2 = p.copy()
+    p2[1500:] *= 100.0  # padded rows would win if unmasked
+    s, i = pallas_topk_block_v4(
+        jnp.asarray(q), jnp.asarray(p2), 1500, k,
+        q_tile=64, p_tile=256, interpret=True,
+    )
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p2[:1500]), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_pallas_v4_rescore_path_exact(rng):
+    """Force same-window top-k pairs (the flagged-rescore path) by packing
+    near-duplicate high-scoring rows into adjacent slots: results must
+    still be the exact oracle."""
+    from haconvdr_tpu.ops.pallas_topk_v4 import _v4_search, pallas_topk_block_v4
+
+    Q, N, D, k = 32, 1024, 16, 8
+    q = rng.randn(Q, D).astype(np.float32)
+    p = rng.randn(N, D).astype(np.float32) * 0.01
+    # plant pairs of strong rows inside the same 128-lane window
+    for w in range(4):
+        base = w * 256
+        strong = rng.randn(D).astype(np.float32)
+        p[base] = strong
+        p[base + 1] = strong * 0.999
+    s, i, nf = _v4_search(
+        jnp.asarray(q), jnp.asarray(p), jnp.int32(N), k,
+        q_tile=32, p_tile=256, interpret=True,
+    )
+    assert int(nf) >= 1  # the rescore path genuinely fired
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_pallas_v4_tie_overflow_falls_back(rng):
+    """A uniform corpus floods the flag budget; the host fallback to v3
+    must keep membership exact with real ids."""
+    from haconvdr_tpu.ops.pallas_topk_v4 import _v4_search, pallas_topk_block_v4
+
+    Q, N, D, k = 16, 2048, 8, 6
+    row = rng.randn(D).astype(np.float32)
+    p = np.tile(row, (N, 1))
+    q = rng.randn(Q, D).astype(np.float32)
+    _, _, nf = _v4_search(
+        jnp.asarray(q), jnp.asarray(p), jnp.int32(N), k,
+        q_tile=16, p_tile=256, interpret=True,
+    )
+    assert int(nf) > 8  # budget genuinely overflows
+    s, i = pallas_topk_block_v4(
+        jnp.asarray(q), jnp.asarray(p), N, k,
+        q_tile=16, p_tile=256, interpret=True,
+    )
+    i = np.asarray(i)
+    assert np.all((i >= 0) & (i < N))
+    expect = (q @ row)[:, None]
+    np.testing.assert_allclose(np.asarray(s), np.tile(expect, (1, k)), rtol=1e-5)
+    for r in range(Q):
+        assert len(set(i[r])) == k
+
+
+def test_pallas_v4_int8(rng):
+    """int8 index through v4: same dequantized-oracle contract as v3."""
+    from haconvdr_tpu.index.quantize import quantize_int8
+    from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
+
+    Q, N, D, k = 64, 1024, 32, 10
+    emb = rng.randn(N, D).astype(np.float32)
+    queries = rng.randn(Q, D).astype(np.float32)
+    int8_rows, scale = quantize_int8(emb)
+    q_folded = (queries * scale[None, :]).astype(np.float32)
+    s, i = pallas_topk_block_v4(
+        jnp.asarray(q_folded), jnp.asarray(int8_rows), N, k,
+        q_tile=64, p_tile=256, interpret=True,
+    )
     qf = jnp.asarray(q_folded, jnp.bfloat16).astype(jnp.float32)
     full = jnp.dot(qf, jnp.asarray(int8_rows, jnp.float32).T)
     rs, ri = jax.lax.top_k(full, k)

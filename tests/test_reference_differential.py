@@ -1540,3 +1540,407 @@ def test_bm25_decode_mode_matches_reference():
             dict(record), "decode", decode2=dict(answer), eval_type=eval_type
         )
         assert ours == ns["query"], (eval_type, ours, ns["query"])
+
+
+def test_chained_pipeline_matches_reference(
+    ref_modules, ref_train_module, tmp_path, monkeypatch
+):
+    """ONE chained differential across every pipeline seam, in the
+    reference README's order (/root/reference/README.md:15-98):
+
+      reference L0 (gen_train_test_files + qrel) -> reference PRJ probe
+      generation (create_label_rel_turn) -> rebuild dense retrieval as the
+      MRR oracle -> reference improve_judge vs rebuild improve_judge on
+      identical MRRs -> label merge-back -> BM25 negatives (rebuild CPU
+      BM25; reference merge_bm25_neg_info consumes its run file) ->
+      reformulate -> 3 reference torch train steps vs the rebuild train
+      step from the SAME init (save_hf_checkpoint) on the SAME records ->
+      embed -> search -> TREC -> metrics, asserting the final run files
+      (qid/pid/rank) and metric dicts agree.
+
+    Every stage consumes the PREVIOUS stage's artifact, so field-name or
+    format drift between stage outputs fails here even when each stage's
+    own differential passes.  Reference functions are used wherever the
+    reference is executable; rebuild stand-ins are limited to the pinned
+    defects (merge_rel_label_info's never-matching id-format check,
+    reformulate's data[i-idx] indexing, Retrieval_topiocqa_new's
+    prepos_neg NameError — each pinned by its own dedicated test) and to
+    faiss/pyserini/pytrec_eval which are not installed here.  Everything
+    runs in float64 so torch-vs-JAX rank order is deterministic.
+    """
+    import dataclasses
+
+    ref_models, ref_data = ref_modules
+    m = ref_train_module
+    ref_pre = _load_ref_or_skip(
+        "_ref_pre_chain", "/root/reference/preprocess/preprocess_topicoqa.py"
+    )
+    ref_prj = _load_ref_or_skip(
+        "_ref_prj_chain", "/root/reference/preprocess/PRJ_topiocqa.py"
+    )
+
+    # -- a dropout-free f64-friendly checkpoint both frameworks load -----
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "<mask>": 4}
+    for s_ in bytes_to_unicode().values():
+        if s_ not in vocab:
+            vocab[s_] = len(vocab)
+    with open(ckpt_dir / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(ckpt_dir / "merges.txt", "w") as f:
+        f.write("#version: 0.2\nt h\nth e\n")
+    mcfg = ModelConfig.tiny(
+        vocab_size=len(vocab) + 8, max_position_embeddings=80,
+        embedding_dim=768, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    params0 = init_encoder_params(jax.random.PRNGKey(3), mcfg)
+    save_hf_checkpoint(params0, mcfg, str(ckpt_dir))
+    tok = transformers.RobertaTokenizer.from_pretrained(str(ckpt_dir))
+    mcfg64 = dataclasses.replace(mcfg, dtype="float64")
+    params64 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float64), params0
+    )
+
+    # -- stage A: reference L0 on a fabricated gold dump -----------------
+    def turn(conv, t, pid, q):
+        return {
+            "conv_id": conv, "turn_id": t, "question": q,
+            "answers": [f"answer {conv}-{t}"],
+            "positive_ctxs": [{
+                "passage_id": str(pid),
+                "title": f"Title{pid} [SEP] Sub{pid}",
+                "text": f"passage text about thing{pid}",
+            }],
+        }
+
+    # conv 1 gets a third turn so consecutive conversations never end on
+    # the same turn id: the reference's improve_judge flushes on turn-id
+    # change only (src/test_PRJ_topiocqa.py:466), and its conv-boundary
+    # defect at equal turn ids is pinned by its own dedicated test
+    gold_train = [turn(1, 1, 1, "passage thing1"), turn(1, 2, 2, "passage thing2"),
+                  turn(1, 3, 7, "passage thing7"),
+                  turn(2, 1, 3, "passage thing3"), turn(2, 2, 4, "passage thing4")]
+    gold_dev = [turn(5, 1, 5, "passage thing5"), turn(5, 2, 6, "passage thing6")]
+    (tmp_path / "gold_train.json").write_text(json.dumps(gold_train))
+    (tmp_path / "gold_dev.json").write_text(json.dumps(gold_dev))
+    coll = tmp_path / "collection.tsv"
+    with open(coll, "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for pid in range(0, 8):
+            f.write(f"{pid}\tpassage text about thing{pid}\tTitle{pid} [SEP] Sub{pid}\n")
+    monkeypatch.setattr(ref_pre.random, "choice", lambda seq: seq[0])
+    train_file = tmp_path / "train.json"
+    test_file = tmp_path / "test.json"
+    ref_pre.gen_train_test_files(
+        str(tmp_path / "gold_train.json"), str(tmp_path / "gold_dev.json"),
+        str(train_file), str(test_file), str(coll),
+    )
+    qrel_file = tmp_path / "qrel.trec"
+    ref_pre.gen_topiocqa_qrel(str(tmp_path / "gold_dev.json"), str(qrel_file))
+
+    # -- stage B: reference PRJ probes over the combined layout ----------
+    docs = {pid: f"Title{pid} [SEP] Sub{pid} passage text about thing{pid}"
+            for pid in range(0, 8)}
+
+    def combined(gold):
+        recs, hist, prev_pid = [], {}, {}
+        for g in gold:
+            c, t = g["conv_id"], g["turn_id"]
+            hq, ha = hist.get(c, ([], []))
+            pid = int(g["positive_ctxs"][0]["passage_id"])
+            recs.append({
+                "id": f"{c}-{t}", "conv_id": c, "turn_id": t,
+                "history_query": list(hq), "history_rewrite": list(hq),
+                "history_answer": list(ha),
+                "last_response": docs[prev_pid[c]] if t > 1 else "",
+                "topic": "T", "sub_topic": "S",
+                "query": g["question"], "rewrite": g["question"],
+                "answer": g["answers"][0],
+                "pos_docs": [docs[pid]], "pos_docs_id": [pid],
+            })
+            hist[c] = (hq + [g["question"]], ha + [g["answers"][0]])
+            prev_pid[c] = pid
+        return recs
+
+    probes_by_split, labels_by_split = {}, {}
+    from haconvdr_tpu.data.prj import build_prj_probe_examples
+    from haconvdr_tpu.data.sequence import encode_trunc, pad_seq_to_length
+    from haconvdr_tpu.eval.metrics import trec_metrics
+    from haconvdr_tpu.mine.prj import improve_judge
+    from haconvdr_tpu.ops.topk import BlockSearcher
+
+    # corpus embeddings once (frozen tower = initial checkpoint), f64
+    p_ids, p_masks = [], []
+    pids = sorted(docs)
+    for pid in pids:
+        ids_, mask_ = pad_seq_to_length(encode_trunc(tok, docs[pid], 24), 24)
+        p_ids.append(ids_)
+        p_masks.append(mask_)
+    corpus_emb = np.asarray(encode(
+        params64, mcfg64, jnp.asarray(np.asarray(p_ids)),
+        jnp.asarray(np.asarray(p_masks)),
+    ))
+
+    import ast as ast_mod
+
+    prj_path = os.path.join(REF, "test_PRJ_topiocqa.py")
+    prj_tree = ast_mod.parse(open(prj_path).read())
+    fn = next(n for n in prj_tree.body
+              if isinstance(n, ast_mod.FunctionDef) and n.name == "improve_judge")
+    ns = {"json": json}
+    exec(compile(ast_mod.Module(body=[fn], type_ignores=[]), prj_path, "exec"), ns)
+    ref_improve = ns["improve_judge"]
+
+    for split, gold in (("train", gold_train), ("dev", gold_dev)):
+        comb_file = tmp_path / f"combined_{split}.json"
+        with open(comb_file, "w") as f:
+            for r in combined(gold):
+                f.write(json.dumps(r) + "\n")
+        probe_file = tmp_path / f"probes_{split}.json"
+        ref_prj.create_label_rel_turn(str(comb_file), str(probe_file))
+        probes = [json.loads(l) for l in open(probe_file)]
+        probes_by_split[split] = probes
+
+        # rebuild dense retrieval as the MRR oracle for the probes
+        cfg = _our_cfg(max_concat_length=64)
+        examples = build_prj_probe_examples(cfg, tok, str(probe_file))
+        q_emb = np.asarray(encode(
+            params64, mcfg64,
+            jnp.asarray(np.asarray([e["pair_query"] for e in examples])),
+            jnp.asarray(np.asarray([e["pair_query_mask"] for e in examples])),
+        ))
+        searcher = BlockSearcher(top_k=len(pids), passage_chunk=8, use_pallas=False)
+        s_, i_ = searcher.search(
+            q_emb.astype(np.float32),
+            [(corpus_emb.astype(np.float32), np.asarray(pids, np.int64))],
+        )
+        runs = {
+            e["sample_id"]: {str(pids[j]): float(s_[qi, r])
+                             for r, j in enumerate(np.searchsorted(pids, i_[qi]))}
+            for qi, e in enumerate(examples)
+        }
+        # probe qrels: each probe's gold pid (convert_gold_to_trec intent)
+        qrels = {p["id"]: {str(p["pos_docs_id"][0]): 1} for p in probes}
+        runs = {qid: {str(p): float(sc) for p, sc in
+                      zip(i_[qi], s_[qi]) if p >= 0}
+                for qi, qid in enumerate(e2["sample_id"] for e2 in examples)}
+        _, per_q = trec_metrics(runs, qrels, qrels)
+        mrr = {qid: met["recip_rank"] for qid, met in per_q.items()}
+
+        # identical MRRs -> reference rule vs rebuild rule
+        scores_in_file_order = [mrr[p["id"]] for p in probes]
+        ref_labels = ref_improve(str(probe_file), scores_in_file_order)
+        our_labels = improve_judge(probes, mrr)
+        assert ref_labels == our_labels, split
+        labels_by_split[split] = our_labels
+
+    # -- stage C: merge labels + BM25 negatives into train/test files ----
+    from haconvdr_tpu.mine.bm25 import BM25Index
+    from haconvdr_tpu.preprocess import topiocqa as ours_pre
+
+    merged = {}
+    for split, fname in (("train", train_file), ("dev", test_file)):
+        recs = [json.loads(l) for l in open(fname)]
+        rel_file = tmp_path / f"rel_{split}.json"
+        labels = labels_by_split[split]
+        with open(rel_file, "w") as f:
+            for r in recs:
+                conv, t = r["sample_id"].split("_")[-2:]
+                f.write(json.dumps({
+                    "id": f"{conv}-{t}",
+                    "rel_label": labels.get(f"{conv}-{t}", []),
+                }) + "\n")
+        out = tmp_path / f"{split}_rel.json"
+        # rebuild merge: the reference's own format check can never match
+        # its own L0 layout (pinned in the dedicated merge test)
+        ours_pre.merge_rel_label_info(str(rel_file), str(fname), str(out))
+        merged[split] = out
+
+    # BM25 mining (rebuild CPU BM25 stands in for pyserini/Lucene); the
+    # REFERENCE merge consumes its run file — the run-format seam
+    idx = BM25Index()
+    for pid in pids:
+        idx.add(str(pid), docs[pid])
+    idx.finalize()
+    train_recs = [json.loads(l) for l in open(merged["train"])]
+    queries = [r["cur_utt_text"].split(" [SEP] ")[-1] for r in train_recs]
+    d_, s_ = idx.batch_search(queries, k=4)
+    bm25_run = tmp_path / "bm25.trec"
+    with open(bm25_run, "w") as f:
+        for qi, r in enumerate(train_recs):
+            for rank in range(d_.shape[1]):
+                if d_[qi, rank] < 0:
+                    break
+                f.write(
+                    f"{r['sample_id']} Q0 {idx.doc_ids[d_[qi, rank]]} "
+                    f"{rank + 1} {10 - rank} bm25\n"
+                )
+    with_negs = tmp_path / "train_negs.json"
+    ref_pre.merge_bm25_neg_info(str(bm25_run), str(merged["train"]), str(with_negs))
+    ours_pre.extract_doc_content_of_bm25_hard_negs_for_train_file(
+        "", str(with_negs), str(with_negs), qid2passage={p: docs[p] for p in pids}
+    )
+    train_info = tmp_path / "train_with_info.json"
+    # rebuild reformulate (the reference's data[i-idx] defect is pinned in
+    # its dedicated test; the chain wants the intended mapping)
+    ours_pre.reformulate_dataset_info(str(with_negs), str(train_info))
+    info_recs = [json.loads(l) for l in open(train_info)]
+    assert any(r.get("bm25_hard_neg_docs") for r in info_recs)
+
+    # strip pseudo/prepos for the train stage: Retrieval_topiocqa_new
+    # NameErrors on non-empty prepos_neg_docs (src/data.py:333, pinned
+    # elsewhere); pseudo/prepos loss parity has its own differential
+    train_plain = tmp_path / "train_plain.json"
+    with open(train_plain, "w") as f:
+        for r in info_recs:
+            r = dict(r)
+            r["pseudo_prepos_docs"] = []
+            r["prepos_neg_docs"] = []
+            f.write(json.dumps(r) + "\n")
+
+    # -- stage D: 3 reference torch train steps vs the rebuild ----------
+    args = _ref_args(is_train=True, use_PRL=True)
+    ref_ds = ref_data.Retrieval_topiocqa_new(args, tok, str(train_plain))
+    collate = ref_data.Retrieval_topiocqa_new.get_collate_fn(args)
+    ref_batch = collate([ref_ds[i] for i in range(len(ref_ds))])
+
+    config = transformers.RobertaConfig.from_pretrained(str(ckpt_dir))
+    config.hidden_dropout_prob = 0.0  # deterministic torch loop (the JAX
+    config.attention_probs_dropout_prob = 0.0  # side trains dropout-free)
+    q_enc = ref_models.ANCE.from_pretrained(str(ckpt_dir), config=config).double()
+    p_enc = ref_models.ANCE.from_pretrained(str(ckpt_dir), config=config).double()
+    q_enc.train()
+    p_enc.eval()
+    opt_args = Namespace(learning_rate=5e-3, adam_epsilon=1e-8)
+    optimizer = m.get_optimizer(opt_args, q_enc, weight_decay=0.0)
+    scheduler = transformers.get_linear_schedule_with_warmup(
+        optimizer, num_warmup_steps=0, num_training_steps=3
+    )
+    m.args = Namespace(is_pseudo_prepos=False, is_prepos_neg=False,
+                       alpha=1.0, device="cpu")
+    tq = torch.tensor(np.asarray(ref_batch["bt_conv_qp"]))
+    tqm = torch.tensor(np.asarray(ref_batch["bt_conv_qp_mask"]))
+    tp = torch.tensor(np.asarray(ref_batch["bt_pos_docs"]))
+    tpm = torch.tensor(np.asarray(ref_batch["bt_pos_docs_mask"]))
+    tn = torch.tensor(np.asarray(ref_batch["bt_neg_docs"]))
+    tnm = torch.tensor(np.asarray(ref_batch["bt_neg_docs_mask"]))
+    ref_losses = []
+    for _ in range(3):  # the hot loop, src/train_HAConvDR_topiocqa.py:127-208
+        q_enc.zero_grad()
+        q_embs = q_enc.query_emb(tq, tqm)
+        with torch.no_grad():
+            pos_embs = p_enc.query_emb(tp, tpm).detach()
+            neg_embs = p_enc.query_emb(tn, tnm).detach()
+        loss = m.cal_ranking_loss_prepos(q_embs, pos_embs, neg_embs, None, None)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(q_enc.parameters(), 1.0)
+        optimizer.step()
+        scheduler.step()
+        ref_losses.append(float(loss))
+
+    from haconvdr_tpu.config import TrainConfig
+    from haconvdr_tpu.data.topiocqa import build_topiocqa_train_examples
+    from haconvdr_tpu.models.encoder import stack_layer_params
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.train.trainer import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    our_cfg = _our_cfg(is_train=True, use_PRL=True)
+    ours_ex = build_topiocqa_train_examples(our_cfg, tok, str(train_plain))
+    assert len(ours_ex) == len(ref_ds)
+    from haconvdr_tpu.data.loader import collate as our_collate
+
+    our_np = our_collate(ours_ex)
+    # the seam itself: chain-produced records must tokenize identically
+    # through both sides' dataset builders
+    for ok, rk in (("conv_qp", "bt_conv_qp"), ("pos_docs", "bt_pos_docs"),
+                   ("neg_docs", "bt_neg_docs")):
+        np.testing.assert_array_equal(
+            np.asarray(our_np[ok]), np.asarray(ref_batch[rk]), err_msg=ok
+        )
+    batch = {k: jnp.asarray(v) for k, v in our_np.items()
+             if isinstance(v, np.ndarray)}
+    tcfg = TrainConfig(
+        per_device_train_batch_size=len(ours_ex), learning_rate=5e-3,
+        accumulation_steps=1, num_train_epochs=3, weight_decay=0.0,
+        is_pseudo_prepos=False, is_prepos_neg=False,
+    )
+    mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    opt = make_optimizer(tcfg, 3)
+    step_fn = make_train_step(mesh, mcfg64, tcfg, opt)
+    state = init_train_state(
+        jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64),
+                               stack_layer_params(params0)),
+        opt,
+    )
+    frozen = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float64), stack_layer_params(params0)
+    )
+    our_losses = []
+    for _ in range(3):
+        state, loss = step_fn(state, frozen, batch)
+        our_losses.append(float(loss))
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-6, atol=1e-8)
+
+    # -- stage E: embed -> search -> TREC -> metrics, both routes --------
+    from haconvdr_tpu.data.topiocqa import build_topiocqa_test_examples
+    from haconvdr_tpu.eval.trec import dedup_ranked_candidates, read_qrels, read_run, write_run
+    from haconvdr_tpu.models.encoder import unstack_layer_params
+
+    eval_args = _ref_args(is_train=False, use_PRL=False)
+    ref_eval = ref_data.Retrieval_topiocqa(eval_args, tok, str(merged["dev"]))
+    eval_collate = ref_data.Retrieval_topiocqa.get_collate_fn(eval_args)
+    ebatch = eval_collate([ref_eval[i] for i in range(len(ref_eval))])
+    qids = list(ebatch["bt_sample_ids"])
+    q_enc.eval()
+    with torch.no_grad():
+        ref_q = q_enc.query_emb(
+            torch.tensor(np.asarray(ebatch["bt_conv_qp"])),
+            torch.tensor(np.asarray(ebatch["bt_conv_qp_mask"])),
+        ).numpy()
+
+    our_eval = build_topiocqa_test_examples(
+        _our_cfg(is_train=False, use_PRL=False), tok, str(merged["dev"])
+    )
+    trained = unstack_layer_params(state.params)
+    our_q = np.asarray(encode(
+        trained, mcfg64,
+        jnp.asarray(np.asarray([e["conv_qp"] for e in our_eval])),
+        jnp.asarray(np.asarray([e["conv_qp_mask"] for e in our_eval])),
+    ))
+    assert [e["sample_id"] for e in our_eval] == qids
+    # torch AdamW and optax adamw agree on the math but not on f64
+    # rounding order; after 3 updates the embedding drift is ~1e-7 —
+    # far below the mini-corpus score gaps, so ranks stay deterministic
+    np.testing.assert_allclose(our_q, ref_q, rtol=1e-5, atol=1e-5)
+
+    run_files = {}
+    for name, q_emb in (("ref", ref_q), ("ours", our_q)):
+        searcher = BlockSearcher(top_k=len(pids), passage_chunk=8, use_pallas=False)
+        s_, i_ = searcher.search(
+            q_emb.astype(np.float32),
+            [(corpus_emb.astype(np.float32), np.asarray(pids, np.int64))],
+        )
+        ranked = dedup_ranked_candidates(qids, s_, i_, None, len(pids))
+        run_path = tmp_path / f"run_{name}.trec"
+        write_run(ranked, str(run_path))
+        run_files[name] = run_path
+
+    la = open(run_files["ref"]).read().splitlines()
+    lb = open(run_files["ours"]).read().splitlines()
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        fa, fb = a.split(), b.split()
+        # qid, pid, rank equal between the torch route and the JAX route
+        assert (fa[0], fa[2], fa[3]) == (fb[0], fb[2], fb[3]), (a, b)
+
+    qrels, qrels_ndcg = read_qrels(str(qrel_file), 1)
+    met_ref, _ = trec_metrics(read_run(str(run_files["ref"])), qrels, qrels_ndcg)
+    met_ours, _ = trec_metrics(read_run(str(run_files["ours"])), qrels, qrels_ndcg)
+    assert met_ref == met_ours
+    assert met_ref["MRR"] > 0  # the chain retrieves something real
