@@ -63,7 +63,12 @@ def bench_streaming(jax, jnp):
         )
         for b in range(n_blocks)
     ]
-    searcher = BlockSearcher(top_k=TOP_K, query_chunk=2048, use_pallas=True)
+    searcher = BlockSearcher(
+        top_k=TOP_K, query_chunk=2048, use_pallas=True,
+        blocks_per_dispatch=n_blocks,  # round-3: ONE dispatch for all staged
+        # blocks (lax.scan inside the jit) — removes the per-block relay
+        # round-trip the 1.62x overhead was attributed to
+    )
 
     def run_stream():
         s, i = searcher.search(queries, blocks, return_device=True)

@@ -61,25 +61,31 @@ def _window_top2_kernel(
     n_valid_ref,  # SMEM scalar prefetch: [1] int32
     q_ref,  # [QP, D] VMEM, resident across the whole grid
     p_ref,  # [PT, D] VMEM, streamed per grid step
-    v1_ref,  # [QP, 128] window-max block (flushed every `flush` tiles)
-    a1_ref,  # [QP, 128] its global row index
-    v2_ref,  # [QP, 128] window second-max
-    a2_ref,  # [QP, 128] its global row index
+    v1_ref,  # [128, QP] TRANSPOSED window-max block (flushed every `flush` tiles)
+    a1_ref,  # [128, QP] its global row index
+    v2_ref,  # [128, QP] window second-max
+    a2_ref,  # [128, QP] its global row index
     *,
     pt: int,
     qt: int,
     sw: int,
     flush: int,
 ):
+    # Transposed layout: scores are computed as [pt, qt] so the per-window
+    # reductions run along SUBLANES and their [qt]-wide results lie along
+    # lanes — the n_win results of a tile stack into one [n_win, qt] store
+    # at sublane offset (j % flush) * n_win (provably 8-aligned) and lane
+    # offset r0 (a static multiple of qt).  The row-major variant stored
+    # single columns at lane offsets Mosaic cannot prove 128-aligned.
     j = pl.program_id(0)
     QP = q_ref.shape[0]
     n_win = pt // sw
-    col0 = (j % flush) * n_win
+    row0 = (j % flush) * n_win
 
     @pl.when(j % flush == 0)
     def _():
         # a fresh output block may outlive the grid (last, partial flush
-        # group): initialize so unwritten columns read as empty
+        # group): initialize so unwritten rows read as empty
         v1_ref[...] = jnp.full(v1_ref.shape, NEG_INF, jnp.float32)
         v2_ref[...] = jnp.full(v2_ref.shape, NEG_INF, jnp.float32)
         a1_ref[...] = jnp.full(a1_ref.shape, 0, jnp.int32)
@@ -87,8 +93,8 @@ def _window_top2_kernel(
 
     base = j * pt
     nv = n_valid_ref[0]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (qt, sw), 1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (qt, pt), 1)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, qt), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (pt, qt), 0)
     pmat = p_ref[...]
     if pmat.dtype == jnp.int8:
         pmat = pmat.astype(jnp.bfloat16)
@@ -96,24 +102,30 @@ def _window_top2_kernel(
     for t in range(QP // qt):
         r0 = t * qt
         s = jax.lax.dot_general(
-            q_ref[r0 : r0 + qt, :],
             pmat,
+            q_ref[r0 : r0 + qt, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [qt, PT]
-        s = jnp.where(base + col_ids < nv, s, NEG_INF)
+        )  # [PT, qt]
+        s = jnp.where(base + row_ids < nv, s, NEG_INF)
+        v1s, a1s, v2s, a2s = [], [], [], []
         for g in range(n_win):
-            seg = s[:, g * sw : (g + 1) * sw]
-            v1 = jnp.max(seg, axis=1)
-            l1 = jnp.argmax(seg, axis=1).astype(jnp.int32)
-            masked = jnp.where(lane_ids == l1[:, None], NEG_INF, seg)
-            v2 = jnp.max(masked, axis=1)
-            l2 = jnp.argmax(masked, axis=1).astype(jnp.int32)
+            seg = s[g * sw : (g + 1) * sw, :]
+            v1 = jnp.max(seg, axis=0)
+            l1 = jnp.argmax(seg, axis=0).astype(jnp.int32)
+            masked = jnp.where(sub_ids == l1[None, :], NEG_INF, seg)
+            v2 = jnp.max(masked, axis=0)
+            l2 = jnp.argmax(masked, axis=0).astype(jnp.int32)
             gcol = base + g * sw
-            v1_ref[r0 : r0 + qt, col0 + g] = v1
-            a1_ref[r0 : r0 + qt, col0 + g] = gcol + l1
-            v2_ref[r0 : r0 + qt, col0 + g] = v2
-            a2_ref[r0 : r0 + qt, col0 + g] = gcol + l2
+            v1s.append(v1)
+            a1s.append(gcol + l1)
+            v2s.append(v2)
+            a2s.append(gcol + l2)
+        rows = pl.ds(row0, n_win)
+        v1_ref[rows, r0 : r0 + qt] = jnp.stack(v1s, axis=0)
+        a1_ref[rows, r0 : r0 + qt] = jnp.stack(a1s, axis=0)
+        v2_ref[rows, r0 : r0 + qt] = jnp.stack(v2s, axis=0)
+        a2_ref[rows, r0 : r0 + qt] = jnp.stack(a2s, axis=0)
 
 
 @functools.partial(
@@ -146,7 +158,11 @@ def _v4_search(
         p_tile = 1024
     assert N % p_tile == 0, "pad passages to a multiple of p_tile"
     if q_panel == 0:
-        q_panel = 1024 if passages.dtype == jnp.float32 else 2048
+        # 1024 for all dtypes: the four [128, panel] output blocks are
+        # double-buffered by Mosaic, and a 2048 panel puts the kernel's
+        # scoped VMEM right at the 16 MB edge (measured 16.54M OOM); the
+        # second panel's extra index stream costs ~4.5 ms bf16 at 2.5M
+        q_panel = 1024
     sw = seg_width
     assert p_tile % sw == 0 and sw % 128 == 0
     n_win = p_tile // sw
@@ -171,8 +187,8 @@ def _v4_search(
         kernel = functools.partial(
             _window_top2_kernel, pt=p_tile, qt=q_tile, sw=sw, flush=flush
         )
-        out_spec = pl.BlockSpec((QP, 128), lambda j, *_: (0, j // flush))
-        return pl.pallas_call(
+        out_spec = pl.BlockSpec((128, QP), lambda j, *_: (j // flush, 0))
+        outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -184,13 +200,14 @@ def _v4_search(
                 out_specs=[out_spec] * 4,
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((QP, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((QP, Wp), jnp.int32),
-                jax.ShapeDtypeStruct((QP, Wp), jnp.float32),
-                jax.ShapeDtypeStruct((QP, Wp), jnp.int32),
+                jax.ShapeDtypeStruct((Wp, QP), jnp.float32),
+                jax.ShapeDtypeStruct((Wp, QP), jnp.int32),
+                jax.ShapeDtypeStruct((Wp, QP), jnp.float32),
+                jax.ShapeDtypeStruct((Wp, QP), jnp.int32),
             ],
             interpret=interpret,
         )(nv, panel, passages)
+        return [o.T for o in outs]  # back to [QP, Wp] for selection
 
     parts = [run_panel(c0, min(c0 + q_panel, Qp)) for c0 in range(0, Qp, q_panel)]
     if len(parts) == 1:

@@ -177,6 +177,7 @@ class BlockSearcher:
         query_chunk: int = 1024,
         compute_dtype: str = "float32",
         use_pallas: Optional[bool] = None,
+        blocks_per_dispatch: int = 1,
     ):
         self.top_k = top_k
         self.passage_chunk = passage_chunk
@@ -185,15 +186,19 @@ class BlockSearcher:
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
         self.use_pallas = use_pallas
+        # >1: lax.scan several equal-shape staged blocks inside ONE jitted
+        # dispatch — amortizes the per-execution round-trip (measured
+        # ~22 ms on the dev relay) over K blocks.  Only worth it when K
+        # blocks fit device memory at once (many small blocks); full-size
+        # 2.5M-row blocks should keep K=1.
+        self.blocks_per_dispatch = max(1, blocks_per_dispatch)
         if use_pallas:
             assert query_chunk % 128 == 0, "pallas path needs 128-aligned query chunks"
 
-        @jax.jit
-        def _search_block(best_s, best_ids, queries, passages, ids_arr, n_valid):
+        def _one_block(best_s, best_ids, queries, passages, ids_arr, n_valid):
             """One block's whole step — per-query-chunk top-k (threshold-
             seeded on the pallas path), local->global id map (":110") and
-            running merge — as a single dispatch: per-block host
-            round-trips add up on high-latency links."""
+            running merge."""
             Q = best_s.shape[0]
             qn = queries.shape[0]
             if self.use_pallas and qn > Q:
@@ -225,7 +230,37 @@ class BlockSearcher:
             )
             return new_s, new_ids
 
+        @jax.jit
+        def _search_block(best_s, best_ids, queries, passages, ids_arr, n_valid):
+            return _one_block(best_s, best_ids, queries, passages, ids_arr, n_valid)
+
+        @functools.partial(jax.jit, static_argnames=("with_scales",))
+        def _search_blocks(
+            best_s, best_ids, queries, blocks, ids_arr, n_valids,
+            scales=None, with_scales=False,
+        ):
+            """K equal-shape blocks in one dispatch: scan the per-block
+            step (threshold seeding carries across blocks through the
+            running best, exactly as the dispatch-per-block path)."""
+
+            def body(carry, inp):
+                bs, bi = carry
+                if with_scales:
+                    emb, ids, nv, sc = inp
+                    q_eff = queries.astype(jnp.float32) * sc
+                else:
+                    emb, ids, nv = inp
+                    q_eff = queries
+                return _one_block(bs, bi, q_eff, emb, ids, nv), None
+
+            xs = (blocks, ids_arr, n_valids)
+            if with_scales:
+                xs = xs + (scales,)
+            (s, i), _ = jax.lax.scan(body, (best_s, best_ids), xs)
+            return s, i
+
         self._search_block = _search_block
+        self._search_blocks = _search_blocks
 
     def _block_topk(self, queries, passages, n_valid, init_scores=None):
         """Per-block exact top-k: fused Pallas kernel on TPU, blocked XLA
@@ -326,21 +361,51 @@ class BlockSearcher:
             # async dispatch: the next block's H2D overlaps the current search
             return (emb_dev, ids_dev, n_valid, scale_dev)
 
+        group: list = []
+
+        def flush_group():
+            nonlocal best_s, best_ids
+            if not group:
+                return
+            if len(group) == 1:
+                passages, ids_arr, n_valid, scale_dev = group[0]
+                if scale_dev is None:
+                    q_eff = queries
+                else:  # fold the int8 block's dequant scale into the queries
+                    q_eff = queries.astype(jnp.float32) * scale_dev
+                best_s, best_ids = self._search_block(
+                    best_s, best_ids, q_eff, passages, ids_arr, jnp.int32(n_valid)
+                )
+            else:  # fused dispatch over K equal-shape blocks
+                embs = jnp.stack([g[0] for g in group])
+                idss = jnp.stack([g[1] for g in group])
+                nvs = jnp.asarray([g[2] for g in group], jnp.int32)
+                with_scales = group[0][3] is not None
+                scales = (
+                    jnp.stack([g[3] for g in group]) if with_scales else None
+                )
+                best_s, best_ids = self._search_blocks(
+                    best_s, best_ids, queries, embs, idss, nvs,
+                    scales=scales, with_scales=with_scales,
+                )
+            group.clear()
+
         it = iter(blocks)
         nxt = next(it, None)
         staged = to_device(nxt) if nxt is not None else None
         while staged is not None:
-            passages, ids_arr, n_valid, scale_dev = staged
+            item = staged
             nxt = next(it, None)
             staged = to_device(nxt) if nxt is not None else None
-
-            if scale_dev is None:
-                q_eff = queries
-            else:  # fold the int8 block's dequant scale into the queries
-                q_eff = queries.astype(jnp.float32) * scale_dev
-            best_s, best_ids = self._search_block(
-                best_s, best_ids, q_eff, passages, ids_arr, jnp.int32(n_valid)
-            )
+            if group and (
+                item[0].shape != group[0][0].shape
+                or (item[3] is None) != (group[0][3] is None)
+            ):
+                flush_group()  # ragged tail / mixed quantization: own group
+            group.append(item)
+            if len(group) >= self.blocks_per_dispatch:
+                flush_group()
+        flush_group()
 
         if return_device:
             return best_s, best_ids

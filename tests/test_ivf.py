@@ -387,3 +387,34 @@ def test_sharded_build_int8_and_guards(rng, tmp_path):
     overlap = np.mean([len(set(i_f[r]) & set(i_q[r])) / k for r in range(6)])
     assert overlap >= 0.8, overlap
     np.testing.assert_allclose(s_q, s_f, rtol=0.05, atol=0.05)
+
+
+def test_ivf_sweep_harness(rng, tmp_path):
+    """The nlist/nprobe/slack sweep CLI: recall/latency rows on the
+    mixture distribution, monotone recall in nprobe, full-probe ~ 1.0,
+    and the data-ready entry points (npy matrix + query matrix)."""
+    from haconvdr_tpu.cli.ivf_sweep import main as sweep_main
+
+    n, d = 2000, 16
+    x = _mixture(rng, n, d, n_modes=16)
+    q = _mixture(rng, 32, d, n_modes=16)
+    emb_path = tmp_path / "emb.npy"
+    q_path = tmp_path / "q.npy"
+    np.save(emb_path, x)
+    np.save(q_path, q)
+    out = tmp_path / "sweep.jsonl"
+    sweep_main([
+        f"embeddings={emb_path}", f"queries={q_path}",
+        "nlist=16", "nprobe=2,16", "slack=1.3", "k=10", f"out={out}",
+        "dtype=float32",
+    ])
+    import json as _json
+
+    rows = [_json.loads(l) for l in open(out)]
+    assert len(rows) == 2
+    by_probe = {r["nprobe"]: r for r in rows}
+    assert by_probe[16]["recall_at_k"] >= by_probe[2]["recall_at_k"]
+    assert by_probe[16]["recall_at_k"] >= 0.99  # full probe == exact
+    for r in rows:
+        assert r["latency_ms_per_query"] > 0
+        assert r["memory_overhead"] >= 1.0

@@ -97,3 +97,50 @@ def test_dedup_ranked_candidates():
     assert out["q1"][1] == (200, 7.0)
     assert out["q1"][2] == (300, 6.0)
     assert out["q1"][3] == (0, 0.0)
+
+
+def test_block_searcher_multi_block_dispatch(rng):
+    """blocks_per_dispatch>1 fuses equal-shape blocks into one scanned
+    dispatch; results must equal the dispatch-per-block path and the
+    oracle, including a ragged tail block and an int8 block that forces a
+    group flush."""
+    import jax.numpy as jnp
+
+    from haconvdr_tpu.index.quantize import quantize_int8
+    from haconvdr_tpu.ops.topk import BlockSearcher, exact_topk_oracle
+
+    Q, D, k = 24, 16, 9
+    q = rng.randn(Q, D).astype(np.float32)
+    sizes = [256, 256, 256, 100]  # 3 equal + ragged tail
+    blocks_np = [rng.randn(n, D).astype(np.float32) for n in sizes]
+    ids, base = [], 0
+    for n in sizes:
+        ids.append(np.arange(base, base + n, dtype=np.int64))
+        base += n
+
+    single = BlockSearcher(top_k=k, passage_chunk=128, use_pallas=False)
+    s1, i1 = single.search(q, list(zip(blocks_np, ids)))
+    multi = BlockSearcher(
+        top_k=k, passage_chunk=128, use_pallas=False, blocks_per_dispatch=3
+    )
+    s2, i2 = multi.search(q, list(zip(blocks_np, ids)))
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(i1, i2)
+    rs, ri = exact_topk_oracle(
+        jnp.asarray(q), jnp.asarray(np.concatenate(blocks_np)), k
+    )
+    np.testing.assert_allclose(s2, np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(i2, np.asarray(ri))
+
+    # int8 block mid-stream: scale-presence mismatch flushes the group
+    q8, sc = quantize_int8(blocks_np[1])
+    mixed = [
+        (blocks_np[0], ids[0], None),
+        (q8, ids[1], sc),
+        (blocks_np[2], ids[2], None),
+        (blocks_np[3], ids[3], None),
+    ]
+    s3, i3 = multi.search(q, mixed)
+    s4, i4 = single.search(q, mixed)
+    np.testing.assert_array_equal(s3, s4)
+    np.testing.assert_array_equal(i3, i4)
