@@ -63,8 +63,8 @@ def _window_top2_kernel(
     p_ref,  # [PT, D] VMEM, streamed per grid step
     v1_ref,  # [128, QP] TRANSPOSED window-max block (flushed every `flush` tiles)
     a1_ref,  # [128, QP] its global row index
-    v2_ref,  # [128, QP] window second-max
-    a2_ref,  # [128, QP] its global row index
+    v2_ref,  # [128, QP] window second-max (its index is never needed:
+    # flagged windows are fully re-scored, unflagged v2 never merges)
     *,
     pt: int,
     qt: int,
@@ -89,12 +89,16 @@ def _window_top2_kernel(
         v1_ref[...] = jnp.full(v1_ref.shape, NEG_INF, jnp.float32)
         v2_ref[...] = jnp.full(v2_ref.shape, NEG_INF, jnp.float32)
         a1_ref[...] = jnp.full(a1_ref.shape, 0, jnp.int32)
-        a2_ref[...] = jnp.full(a2_ref.shape, 0, jnp.int32)
 
     base = j * pt
     nv = n_valid_ref[0]
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, qt), 0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (pt, qt), 0)
+    # validity as a [pt, 1] COLUMN vector broadcast into the select: ~1
+    # pass over the score area instead of the 2.5 an iota+compare over
+    # [pt, qt] costs
+    valid = (
+        base + jax.lax.broadcasted_iota(jnp.int32, (pt, 1), 0) < nv
+    )
     pmat = p_ref[...]
     if pmat.dtype == jnp.int8:
         pmat = pmat.astype(jnp.bfloat16)
@@ -107,25 +111,21 @@ def _window_top2_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [PT, qt]
-        s = jnp.where(base + row_ids < nv, s, NEG_INF)
-        v1s, a1s, v2s, a2s = [], [], [], []
+        s = jnp.where(valid, s, NEG_INF)
+        v1s, a1s, v2s = [], [], []
         for g in range(n_win):
             seg = s[g * sw : (g + 1) * sw, :]
             v1 = jnp.max(seg, axis=0)
             l1 = jnp.argmax(seg, axis=0).astype(jnp.int32)
             masked = jnp.where(sub_ids == l1[None, :], NEG_INF, seg)
             v2 = jnp.max(masked, axis=0)
-            l2 = jnp.argmax(masked, axis=0).astype(jnp.int32)
-            gcol = base + g * sw
             v1s.append(v1)
-            a1s.append(gcol + l1)
+            a1s.append(base + g * sw + l1)
             v2s.append(v2)
-            a2s.append(gcol + l2)
         rows = pl.ds(row0, n_win)
         v1_ref[rows, r0 : r0 + qt] = jnp.stack(v1s, axis=0)
         a1_ref[rows, r0 : r0 + qt] = jnp.stack(a1s, axis=0)
         v2_ref[rows, r0 : r0 + qt] = jnp.stack(v2s, axis=0)
-        a2_ref[rows, r0 : r0 + qt] = jnp.stack(a2s, axis=0)
 
 
 @functools.partial(
@@ -188,7 +188,7 @@ def _v4_search(
             _window_top2_kernel, pt=p_tile, qt=q_tile, sw=sw, flush=flush
         )
         out_spec = pl.BlockSpec((128, QP), lambda j, *_: (j // flush, 0))
-        outs = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -197,64 +197,359 @@ def _v4_search(
                     pl.BlockSpec((QP, D), lambda j, *_: (0, 0)),
                     pl.BlockSpec((p_tile, D), lambda j, *_: (j, 0)),
                 ],
-                out_specs=[out_spec] * 4,
+                out_specs=[out_spec] * 3,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((Wp, QP), jnp.float32),
                 jax.ShapeDtypeStruct((Wp, QP), jnp.int32),
                 jax.ShapeDtypeStruct((Wp, QP), jnp.float32),
-                jax.ShapeDtypeStruct((Wp, QP), jnp.int32),
             ],
             interpret=interpret,
         )(nv, panel, passages)
-        return [o.T for o in outs]  # back to [QP, Wp] for selection
 
     parts = [run_panel(c0, min(c0 + q_panel, Qp)) for c0 in range(0, Qp, q_panel)]
     if len(parts) == 1:
-        v1, a1, v2, a2 = parts[0]
+        v1T, a1T, v2T = parts[0]
     else:
-        v1, a1, v2, a2 = (
-            jnp.concatenate([p[i] for p in parts]) for i in range(4)
+        v1T, a1T, v2T = (
+            jnp.concatenate([p[i] for p in parts], axis=1) for i in range(3)
         )
 
-    # ---- selection over the 128x-smaller window panels (pure XLA) ----
+    # ---- selection, entirely in the kernel's TRANSPOSED [W, Q] layout —
+    # no 160 MB panel transposes (7 ms each), no wide XLA top_k (20+ ms
+    # at [2048, ~20k]); the column-select kernel runs the insert
+    # machinery on ~1% of the corpus area (~1-2 ms per selection)
     kk = min(k, Wp)
-    v_k = _chunk_topk(v1, kk, 128)[0][:, kk - 1]  # [Qp] lower bound on kth
-    real_row = (jnp.arange(Qp) < Q)[:, None]  # padded queries: zero rows
-    flag = (v2 >= v_k[:, None]) & real_row & jnp.isfinite(v2)
-    n_flag_max = jnp.max(jnp.sum(flag, axis=1))
+    v_k = pallas_select_topk_t(v1T, kk, interpret=interpret)[0][:, kk - 1]
+    real_col = (jnp.arange(Qp) < Q)[None, :]  # padded queries: zero rows
+    flagT = (v2T >= v_k[None, :]) & real_col & jnp.isfinite(v2T)
+    n_flag_max = jnp.max(jnp.sum(flagT, axis=0))
 
-    fw_s, fw = jax.lax.top_k(jnp.where(flag, v2, NEG_INF), budget)  # [Qp, B]
+    fw_s, fw = pallas_select_topk_t(
+        jnp.where(flagT, v2T, NEG_INF), budget, interpret=interpret
+    )  # [Qp, B] flagged-window row indices
     fvalid = fw_s > NEG_INF
-    gidx = fw[:, :, None] * sw + jnp.arange(sw, dtype=jnp.int32)  # [Qp, B, sw]
-    safe = jnp.clip(gidx, 0, N - 1).reshape(Qp, budget * sw)
-    rows = jnp.take(passages, safe, axis=0)  # [Qp, B*sw, D]
+    starts = jnp.clip(fw, 0, Wp - 1).astype(jnp.int32) * sw  # [Qp, B]
+    # rescore the flagged windows with WHOLE-WINDOW gather slices
+    # (slice_sizes=(sw, D)): per-row jnp.take lowers to 1-row slices and
+    # measures ~70 GB/s; 128-row slices DMA near peak
+    rows = jax.lax.gather(
+        passages,
+        jnp.clip(starts, 0, N - sw).reshape(-1, 1),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+        ),
+        slice_sizes=(sw, D),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(Qp, budget, sw, D)
     if rows.dtype == jnp.int8:
         rows = rows.astype(jnp.bfloat16)
     resc = jnp.einsum(
-        "qd,qnd->qn",
+        "qd,qbld->qbl",
         queries.astype(rows.dtype),
         rows,
         preferred_element_type=jnp.float32,
-    )  # [Qp, B*sw]
-    rvalid = fvalid[:, :, None] & (
-        gidx < jnp.asarray(n_valid, jnp.int32)
-    )
-    resc = jnp.where(rvalid.reshape(Qp, -1), resc, NEG_INF)
-    ridx = jnp.where(rvalid, gidx, -1).reshape(Qp, -1)
+    )  # [Qp, B, sw]
+    gidx = starts[:, :, None] + jnp.arange(sw, dtype=jnp.int32)
+    rvalid = fvalid[:, :, None] & (gidx < jnp.asarray(n_valid, jnp.int32))
+    rescT = jnp.where(rvalid, resc, NEG_INF).reshape(Qp, budget * sw).T
+    ridxT = jnp.where(rvalid, gidx, -1).reshape(Qp, budget * sw).T
 
-    v1m = jnp.where(flag, NEG_INF, v1)
-    a1m = jnp.where(v1m > NEG_INF, a1, -1)
-    allv = jnp.concatenate([v1m, resc], axis=1)
-    alli = jnp.concatenate([a1m, ridx], axis=1)
-    top_s, pos = _chunk_topk(allv, k, 128)
+    v1mT = jnp.where(flagT, NEG_INF, v1T)
+    poolT = jnp.concatenate([v1mT, rescT], axis=0)  # [Wp + B*sw, Qp]
+    idsT = jnp.concatenate(
+        [jnp.where(v1mT > NEG_INF, a1T, -1), ridxT], axis=0
+    )
+    top_s, pos = pallas_select_topk_t(poolT, k, interpret=interpret)
     if top_s.shape[1] < k:  # tiny corpora: pad like the oracle contract
         padc = k - top_s.shape[1]
         top_s = jnp.pad(top_s, ((0, 0), (0, padc)), constant_values=NEG_INF)
         pos = jnp.pad(pos, ((0, 0), (0, padc)))
-    top_i = jnp.take_along_axis(alli, pos, axis=1)
+    # ids[q, j] = idsT[pos[q, j], q] — a 200k-element gather, not a
+    # full-panel transpose
+    top_i = idsT[pos, jnp.arange(Qp)[:, None]]
     top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
     return top_s[:Q], top_i[:Q], n_flag_max
+
+
+def _select_kernel(
+    n_valid_ref,  # SMEM scalar prefetch: [1] int32
+    s_ref,  # [QP, CT] VMEM: streamed score tile
+    out_s_ref,  # [QP, K]
+    out_i_ref,  # [QP, K]
+    scores,  # [qt, CT] f32 scratch (masked-spill workspace)
+    rmin,  # [QP, 1] f32 scratch
+    *,
+    k: int,
+    ct: int,
+    qt: int,
+    sw: int,
+):
+    """Exact top-k over PRECOMPUTED scores: the v3 insert machinery with
+    the matmul removed — selection cost scales with the score area, which
+    for v4's window panels is ~1/128 of the corpus area (wide XLA
+    lax.top_k at [2048, ~20k] measures tens of ms; this runs in ~1 ms)."""
+    j = pl.program_id(0)
+    QP = s_ref.shape[0]
+    K = out_s_ref.shape[1]
+    n_seg = ct // sw
+
+    @pl.when(j == 0)
+    def _():
+        out_s_ref[...] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
+        rmin[...] = jnp.full(rmin.shape, NEG_INF, jnp.float32)
+        out_i_ref[...] = jnp.full(out_i_ref.shape, -1, jnp.int32)
+
+    base = j * ct
+    nv = n_valid_ref[0]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (qt, sw), 1)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (qt, K), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (qt, ct), 1)
+
+    def extract_insert(seg, g, r0, rm):
+        val = jnp.max(seg, axis=1)
+        lane = jnp.argmax(seg, axis=1).astype(jnp.int32)
+        act = val > rm
+        masked = jnp.where(lane_ids == lane[:, None], NEG_INF, seg)
+        bs = out_s_ref[r0 : r0 + qt, :]
+        amin = jnp.argmin(bs, axis=1).astype(jnp.int32)
+        slot = (k_ids == amin[:, None]) & act[:, None]
+        out_s_ref[r0 : r0 + qt, :] = jnp.where(slot, val[:, None], bs)
+        out_i_ref[r0 : r0 + qt, :] = jnp.where(
+            slot, base + g * sw + lane[:, None], out_i_ref[r0 : r0 + qt, :]
+        )
+        rm = jnp.min(out_s_ref[r0 : r0 + qt, :], axis=1)
+        return masked, rm
+
+    for t in range(QP // qt):
+        r0 = t * qt
+        s = s_ref[r0 : r0 + qt, :].astype(jnp.float32)
+        s = jnp.where(base + col_ids < nv, s, NEG_INF)
+        rm = rmin[r0 : r0 + qt, 0]
+        rem = jnp.full((qt,), NEG_INF, jnp.float32)
+        for g in range(n_seg):
+            masked, rm = extract_insert(s[:, g * sw : (g + 1) * sw], g, r0, rm)
+            scores[:, g * sw : (g + 1) * sw] = masked
+            rem = jnp.maximum(rem, jnp.max(masked, axis=1))
+        rmin[r0 : r0 + qt, 0] = rm
+
+        def round_body(carry, r0=r0):
+            _ = carry
+            rm2 = rmin[r0 : r0 + qt, 0]
+            rem2 = jnp.full((qt,), NEG_INF, jnp.float32)
+            for g in range(n_seg):
+                masked, rm2 = extract_insert(
+                    scores[:, g * sw : (g + 1) * sw], g, r0, rm2
+                )
+                scores[:, g * sw : (g + 1) * sw] = masked
+                rem2 = jnp.maximum(rem2, jnp.max(masked, axis=1))
+            rmin[r0 : r0 + qt, 0] = rm2
+            return jnp.any(rem2 > rm2)
+
+        @pl.when(jnp.any(rem > rm))
+        def _(round_body=round_body):
+            jax.lax.while_loop(lambda c: c, round_body, True)
+
+
+def pallas_select_topk(
+    scores: jax.Array,  # [Q, C] f32
+    k: int,
+    q_tile: int = 256,
+    c_tile: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact (vals [Q, k], col indices [Q, k]) top-k over a score matrix.
+    Same contract as ops.topk._chunk_topk; Pallas-fused for TPU."""
+    Q, C = scores.shape
+    if Q < q_tile:
+        q_tile = max(8, -(-Q // 8) * 8)
+    q_pad = -Q % q_tile
+    if q_pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((q_pad, C), NEG_INF, scores.dtype)], axis=0
+        )
+    Qp = Q + q_pad
+    c_tile = min(c_tile, C)
+    c_pad = -C % c_tile
+    if c_pad:
+        scores = jnp.concatenate(
+            [scores, jnp.full((Qp, c_pad), NEG_INF, scores.dtype)], axis=1
+        )
+    Cp = C + c_pad
+    K = -(-min(k, C) // 128) * 128
+    nv = jnp.asarray([C], jnp.int32)
+    kernel = functools.partial(
+        _select_kernel, k=k, ct=c_tile, qt=q_tile, sw=128
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Cp // c_tile,),
+            in_specs=[pl.BlockSpec((Qp, c_tile), lambda j, *_: (0, j))],
+            out_specs=[
+                pl.BlockSpec((Qp, K), lambda j, *_: (0, 0)),
+                pl.BlockSpec((Qp, K), lambda j, *_: (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((q_tile, c_tile), jnp.float32),
+                pltpu.VMEM((Qp, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Qp, K), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, K), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nv, scores)
+    kk = min(k, C)
+    top_s, pos = jax.lax.top_k(out_s[:Q], kk)
+    top_i = jnp.take_along_axis(out_i[:Q], pos, axis=1)
+    return top_s, top_i
+
+
+def _select_t_kernel(
+    n_valid_ref,  # SMEM scalar prefetch: [1] int32
+    s_ref,  # [CT, QP] VMEM: streamed TRANSPOSED score tile
+    out_s_ref,  # [K, QP]
+    out_i_ref,  # [K, QP]
+    scores,  # [CT, qs] f32 scratch (masked-spill workspace)
+    rmin,  # [8, QP] f32 scratch (row 0 used)
+    *,
+    ct: int,
+    qs: int,
+    sw: int,
+):
+    """Column-oriented exact top-k over precomputed [C, Q] scores — the
+    v3 insert machinery rotated 90 degrees so it consumes the window
+    panels in the kernel's native transposed layout (no 160 MB
+    transposes, no wide XLA top_k)."""
+    j = pl.program_id(0)
+    QP = s_ref.shape[1]
+    K = out_s_ref.shape[0]
+    n_seg = ct // sw
+
+    @pl.when(j == 0)
+    def _():
+        out_s_ref[...] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
+        out_i_ref[...] = jnp.full(out_i_ref.shape, -1, jnp.int32)
+        rmin[...] = jnp.full(rmin.shape, NEG_INF, jnp.float32)
+
+    base = j * ct
+    nv = n_valid_ref[0]
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, qs), 0)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (K, qs), 0)
+    valid = base + jax.lax.broadcasted_iota(jnp.int32, (ct, 1), 0) < nv
+
+    def extract_insert(seg, g, r0, rm):
+        val = jnp.max(seg, axis=0)
+        sub = jnp.argmax(seg, axis=0).astype(jnp.int32)
+        act = val > rm
+        masked = jnp.where(sub_ids == sub[None, :], NEG_INF, seg)
+        bs = out_s_ref[:, r0 : r0 + qs]
+        amin = jnp.argmin(bs, axis=0).astype(jnp.int32)
+        slot = (k_ids == amin[None, :]) & act[None, :]
+        out_s_ref[:, r0 : r0 + qs] = jnp.where(slot, val[None, :], bs)
+        out_i_ref[:, r0 : r0 + qs] = jnp.where(
+            slot, base + g * sw + sub[None, :], out_i_ref[:, r0 : r0 + qs]
+        )
+        rm = jnp.min(out_s_ref[:, r0 : r0 + qs], axis=0)
+        return masked, rm
+
+    for t in range(QP // qs):
+        r0 = t * qs
+        s = s_ref[:, r0 : r0 + qs].astype(jnp.float32)
+        s = jnp.where(valid, s, NEG_INF)
+        rm = rmin[0, r0 : r0 + qs]
+        rem = jnp.full((qs,), NEG_INF, jnp.float32)
+        for g in range(n_seg):
+            masked, rm = extract_insert(s[g * sw : (g + 1) * sw, :], g, r0, rm)
+            scores[g * sw : (g + 1) * sw, :] = masked
+            rem = jnp.maximum(rem, jnp.max(masked, axis=0))
+        rmin[0, r0 : r0 + qs] = rm
+
+        def round_body(carry, r0=r0):
+            _ = carry
+            rm2 = rmin[0, r0 : r0 + qs]
+            rem2 = jnp.full((qs,), NEG_INF, jnp.float32)
+            for g in range(n_seg):
+                masked, rm2 = extract_insert(
+                    scores[g * sw : (g + 1) * sw, :], g, r0, rm2
+                )
+                scores[g * sw : (g + 1) * sw, :] = masked
+                rem2 = jnp.maximum(rem2, jnp.max(masked, axis=0))
+            rmin[0, r0 : r0 + qs] = rm2
+            return jnp.any(rem2 > rm2)
+
+        @pl.when(jnp.any(rem > rm))
+        def _(round_body=round_body):
+            jax.lax.while_loop(lambda c: c, round_body, True)
+
+
+def pallas_select_topk_t(
+    scores_t: jax.Array,  # [C, Q] f32 (transposed layout)
+    k: int,
+    c_tile: int = 1024,
+    q_sub: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact (vals [Q, kk], ROW indices [Q, kk]) top-k per COLUMN of a
+    transposed score matrix; kk = min(k, C), sorted descending."""
+    C, Q = scores_t.shape
+    kk = min(k, C)
+    q_pad = -Q % min(q_sub, max(128, Q))
+    if Q < 128:
+        q_pad = 128 - Q
+    if q_pad:
+        scores_t = jnp.concatenate(
+            [scores_t, jnp.full((C, q_pad), NEG_INF, scores_t.dtype)], axis=1
+        )
+    Qp = Q + q_pad
+    qs = min(q_sub, Qp)
+    c_tile = min(c_tile, -(-C // sw_al(C)) * sw_al(C))
+    c_tile = max(sw_al(C), c_tile - c_tile % sw_al(C))
+    c_pad = -C % c_tile
+    if c_pad:
+        scores_t = jnp.concatenate(
+            [scores_t, jnp.zeros((c_pad, Qp), scores_t.dtype)], axis=0
+        )
+    Cp = C + c_pad
+    K = max(8, -(-kk // 8) * 8)  # buffer rows: sublane-granular here
+    nv = jnp.asarray([C], jnp.int32)
+    kernel = functools.partial(
+        _select_t_kernel, ct=c_tile, qs=qs, sw=sw_al(C)
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Cp // c_tile,),
+            in_specs=[pl.BlockSpec((c_tile, Qp), lambda j, *_: (j, 0))],
+            out_specs=[
+                pl.BlockSpec((K, Qp), lambda j, *_: (0, 0)),
+                pl.BlockSpec((K, Qp), lambda j, *_: (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((c_tile, qs), jnp.float32),
+                pltpu.VMEM((8, Qp), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((K, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((K, Qp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nv, scores_t)
+    # [K, Qp] buffers are tiny (<=128 x Q): transpose + narrow sort
+    top_s, pos = jax.lax.top_k(out_s[:, :Q].T, kk)
+    top_i = jnp.take_along_axis(out_i[:, :Q].T, pos, axis=1)
+    return top_s, top_i
+
+
+def sw_al(C: int) -> int:
+    """Segment width for the transposed select: 128 sublanes, shrunk for
+    very small inputs."""
+    return 128 if C >= 128 else max(8, -(-C // 8) * 8)
 
 
 def pallas_topk_block_v4(

@@ -441,3 +441,54 @@ def test_pallas_v4_int8(rng):
     rs, ri = jax.lax.top_k(full, k)
     np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_pallas_select_topk_matches_laxtopk(rng):
+    """The fused select kernel (precomputed scores -> top-k): value
+    equality with lax.top_k and tie-class membership on duplicates."""
+    from haconvdr_tpu.ops.pallas_topk_v4 import pallas_select_topk
+
+    Q, C, k = 64, 1000, 12
+    s = rng.randn(Q, C).astype(np.float32)
+    vs, vi = pallas_select_topk(
+        jnp.asarray(s), k, q_tile=32, c_tile=256, interpret=True
+    )
+    rs, ri = jax.lax.top_k(jnp.asarray(s), k)
+    np.testing.assert_array_equal(np.asarray(vs), np.asarray(rs))
+    np.testing.assert_array_equal(np.asarray(vi), np.asarray(ri))
+
+    # duplicates: membership per tie class
+    sd = np.repeat(rng.randn(Q, 125).astype(np.float32), 8, axis=1)
+    vs, vi = pallas_select_topk(
+        jnp.asarray(sd), k, q_tile=32, c_tile=256, interpret=True
+    )
+    vs, vi = np.asarray(vs), np.asarray(vi)
+    rs = np.asarray(jax.lax.top_k(jnp.asarray(sd), k)[0])
+    np.testing.assert_array_equal(vs, rs)
+    for r in range(Q):
+        np.testing.assert_array_equal(sd[r, vi[r]], vs[r])
+        assert len(set(vi[r])) == k
+
+
+def test_pallas_select_topk_t_matches_laxtopk(rng):
+    """Column-oriented select kernel ([C, Q] transposed layout)."""
+    from haconvdr_tpu.ops.pallas_topk_v4 import pallas_select_topk_t
+
+    Q, C, k = 64, 1000, 12
+    s = rng.randn(C, Q).astype(np.float32)
+    vs, vi = pallas_select_topk_t(
+        jnp.asarray(s), k, c_tile=256, q_sub=64, interpret=True
+    )
+    rs, ri = jax.lax.top_k(jnp.asarray(s.T), k)
+    np.testing.assert_array_equal(np.asarray(vs), np.asarray(rs))
+    np.testing.assert_array_equal(np.asarray(vi), np.asarray(ri))
+
+    # duplicates: membership per tie class, small k = B (the fw use)
+    sd = np.repeat(rng.randn(125, Q).astype(np.float32), 8, axis=0)
+    vs, vi = pallas_select_topk_t(jnp.asarray(sd), 4, interpret=True)
+    vs, vi = np.asarray(vs), np.asarray(vi)
+    rs = np.asarray(jax.lax.top_k(jnp.asarray(sd.T), 4)[0])
+    np.testing.assert_array_equal(vs, rs)
+    for r in range(Q):
+        np.testing.assert_array_equal(sd[vi[r], r], vs[r])
+        assert len(set(vi[r])) == 4
