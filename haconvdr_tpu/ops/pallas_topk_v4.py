@@ -14,21 +14,27 @@ candidates per query spread over 19.5k segments, SOME row of the 256-row
 cell always has a contended segment.
 
 v4 removes the per-segment insert/round machinery entirely.  The kernel
-does only data-oblivious work — matmul, then per 128-lane window the top-2
-(value, global index) pairs, written to HBM as four [Q, W] panels
-(W = N/128 windows; ~640 MB at 2.5M x 2048, a ~1 ms write).  Selection
-then happens OUTSIDE the kernel on the 128x-smaller window panels:
+does only data-oblivious work — matmul, then per 128-lane window the
+(max, its global index, second-max) triple, written to HBM as three
+TRANSPOSED [W, Q] panels (W = N/128 windows; ~480 MB at 2.5M x 2048, a
+~1 ms write; the transposed layout keeps every store at provably-aligned
+offsets and feeds the column-select kernel without 160 MB transposes).
+Selection then happens OUTSIDE the kernel on the 128x-smaller panels:
 
   1. ``v_k`` = per-query k-th largest window max — a VALID LOWER BOUND on
-     the true k-th score (window maxes are a subset of all scores).
+     the true k-th score (window maxes are a subset of all scores) — via
+     the column-select kernel (_select_t_kernel; wide XLA top_k at
+     [2048, ~20k] measures 20+ ms, the kernel ~1-2 ms).
   2. windows whose SECOND value >= v_k are "flagged": only they can hide a
      third-or-later member of the true top-k (if a window's 3rd member
      were >= true k-th, its 2nd would be too, and v_k <= true k-th).
      Expected flags/query = same-window top-k pairs ~ C(k,2)/W ~ 0.25.
-  3. flagged windows are exactly re-scored (gather 128 rows/window + a
-     batched matvec), unflagged windows contribute their max only (their
-     2nd member is < v_k <= true k-th, so it cannot be in the top-k), and
-     one final selection over [unflagged maxes | rescored rows] yields the
+  3. flagged windows are exactly re-scored by the scalar-prefetch gather
+     kernel (_rescore_kernel: window ids drive the BlockSpec index maps,
+     whole-window DMAs; XLA's gather measured ~38 GB/s here), unflagged
+     windows contribute their max only (their 2nd member is < v_k <=
+     true k-th, so it cannot be in the top-k), and one final
+     column-select over [unflagged maxes | rescored rows] yields the
      exact top-k with real global ids.
 
 A static per-query flag budget keeps shapes compile-time constant; the
@@ -51,8 +57,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from haconvdr_tpu.ops.topk import _chunk_topk
 
 NEG_INF = float(-jnp.inf)
 
@@ -397,28 +401,50 @@ def pallas_select_topk(
 
 def _rescore_kernel(
     starts_ref,  # SMEM prefetch [Qp * B] int32: flagged WINDOW indices
-    q_ref,  # (1, D) block: this step's query row
-    *rest,  # B window blocks (sw, D) + out (1, B*sw)
+    q_ref,  # (8, D) block: this step's query row group (row j % 8)
+    *rest,  # B window blocks (sw, D) + out (8, B*sw)
     budget: int,
     sw: int,
 ):
     """Data-dependent window rescore: the flagged window ids drive the
     passage BlockSpec index maps (scalar-prefetch gather), so Mosaic DMAs
     whole [sw, D] windows — ~200 KB contiguous each — instead of the
-    per-row XLA gather that measures ~38 GB/s (42 ms for B=8 at 2.5M)."""
+    per-row XLA gather that measures ~38 GB/s (42 ms for B=8 at 2.5M).
+
+    TPU block shapes need 8-row granularity, so query/output blocks hold
+    8 consecutive queries and are revisited by 8 grid steps; the step's
+    own row is extracted/updated with a masked reduce/select (all offsets
+    static — single-row dynamic-sublane ops don't lower)."""
     wrefs, out_ref = rest[:budget], rest[budget]
-    q = q_ref[0, :]
+    j = pl.program_id(0)
+    jm = j % 8
+    D = q_ref.shape[1]
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (8, D), 0)
+    qmat = q_ref[...]
+    q = jnp.sum(
+        jnp.where(row_q == jm, qmat.astype(jnp.float32), 0.0), axis=0
+    ).astype(qmat.dtype)
+    row_o = jax.lax.broadcasted_iota(jnp.int32, (8, budget * sw), 0)
+    parts = []
     for b in range(budget):
         w = wrefs[b][...]
         if w.dtype == jnp.int8:
             w = w.astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            w,
-            q,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [sw]
-        out_ref[0, b * sw : (b + 1) * sw] = s
+        parts.append(
+            jax.lax.dot_general(
+                w,
+                q,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [sw]
+        )
+    s_row = jnp.concatenate(parts)  # [B*sw]
+
+    @pl.when(jm == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    out_ref[...] = jnp.where(row_o == jm, s_row[None, :], out_ref[...])
 
 
 def _rescore_windows(
@@ -429,6 +455,7 @@ def _rescore_windows(
     interpret: bool = False,
 ) -> jax.Array:  # [Qp, B*sw] f32 scores
     Qp, D = queries.shape
+    assert Qp % 8 == 0
     B = win_ids.shape[1]
     n_win = passages.shape[0] // sw
     starts = jnp.clip(win_ids, 0, n_win - 1).reshape(-1).astype(jnp.int32)
@@ -438,7 +465,7 @@ def _rescore_windows(
             (sw, D), lambda j, starts: (starts[j * B + b], 0)
         )
 
-    in_specs = [pl.BlockSpec((1, D), lambda j, *_: (j, 0))] + [
+    in_specs = [pl.BlockSpec((8, D), lambda j, *_: (j // 8, 0))] + [
         win_spec(b) for b in range(B)
     ]
     kernel = functools.partial(_rescore_kernel, budget=B, sw=sw)
@@ -448,7 +475,7 @@ def _rescore_windows(
             num_scalar_prefetch=1,
             grid=(Qp,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, B * sw), lambda j, *_: (j, 0)),
+            out_specs=pl.BlockSpec((8, B * sw), lambda j, *_: (j // 8, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((Qp, B * sw), jnp.float32),
         interpret=interpret,
