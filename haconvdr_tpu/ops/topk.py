@@ -234,30 +234,29 @@ class BlockSearcher:
         def _search_block(best_s, best_ids, queries, passages, ids_arr, n_valid):
             return _one_block(best_s, best_ids, queries, passages, ids_arr, n_valid)
 
-        @functools.partial(jax.jit, static_argnames=("with_scales",))
+        @functools.partial(jax.jit, static_argnames=("with_scales", "n"))
         def _search_blocks(
-            best_s, best_ids, queries, blocks, ids_arr, n_valids,
-            scales=None, with_scales=False,
+            best_s, best_ids, queries, *flat, with_scales=False, n=1
         ):
-            """K equal-shape blocks in one dispatch: scan the per-block
-            step (threshold seeding carries across blocks through the
-            running best, exactly as the dispatch-per-block path)."""
-
-            def body(carry, inp):
-                bs, bi = carry
+            """K blocks in one dispatch (unrolled, threshold seeding
+            carried through the running best exactly as the
+            dispatch-per-block path).  Blocks are passed as SEPARATE
+            arrays, not stacked: jnp.stack would copy the whole staged
+            set (an extra corpus-sized HBM allocation — OOM at 4 x 622k
+            f32 blocks on one chip)."""
+            per = 4 if with_scales else 3
+            for b in range(n):
+                item = flat[b * per : (b + 1) * per]
                 if with_scales:
-                    emb, ids, nv, sc = inp
+                    emb, ids, nv, sc = item
                     q_eff = queries.astype(jnp.float32) * sc
                 else:
-                    emb, ids, nv = inp
+                    emb, ids, nv = item
                     q_eff = queries
-                return _one_block(bs, bi, q_eff, emb, ids, nv), None
-
-            xs = (blocks, ids_arr, n_valids)
-            if with_scales:
-                xs = xs + (scales,)
-            (s, i), _ = jax.lax.scan(body, (best_s, best_ids), xs)
-            return s, i
+                best_s, best_ids = _one_block(
+                    best_s, best_ids, q_eff, emb, ids, nv
+                )
+            return best_s, best_ids
 
         self._search_block = _search_block
         self._search_blocks = _search_blocks
@@ -377,16 +376,15 @@ class BlockSearcher:
                     best_s, best_ids, q_eff, passages, ids_arr, jnp.int32(n_valid)
                 )
             else:  # fused dispatch over K equal-shape blocks
-                embs = jnp.stack([g[0] for g in group])
-                idss = jnp.stack([g[1] for g in group])
-                nvs = jnp.asarray([g[2] for g in group], jnp.int32)
                 with_scales = group[0][3] is not None
-                scales = (
-                    jnp.stack([g[3] for g in group]) if with_scales else None
-                )
+                flat = []
+                for emb, ids, nv, sc in group:
+                    flat.extend([emb, ids, jnp.int32(nv)])
+                    if with_scales:
+                        flat.append(sc)
                 best_s, best_ids = self._search_blocks(
-                    best_s, best_ids, queries, embs, idss, nvs,
-                    scales=scales, with_scales=with_scales,
+                    best_s, best_ids, queries, *flat,
+                    with_scales=with_scales, n=len(group),
                 )
             group.clear()
 
