@@ -50,7 +50,7 @@ def bench_streaming(jax, jnp):
     23.5 ms with ~1 ms of compute), i.e. one fixed cost per block; the
     algorithmic per-block ramp is eliminated by threshold seeding
     (ops/pallas_topk.py init_scores)."""
-    from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
+    from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
     from haconvdr_tpu.ops.topk import BlockSearcher
 
     n_blocks, rows = 4, 304 * 2048  # 4 x 622,592 = 2.49M
@@ -82,13 +82,15 @@ def bench_streaming(jax, jnp):
         s = run_stream()
     stream_el = (time.time() - t0) / reps
 
+    # resident baseline = the DEFAULT resident path (v4 at 2.5M): the
+    # honest denominator for what streaming costs vs the best single block
     resident = jnp.concatenate([b[0] for b in blocks], axis=0)
     nv = jnp.int32(n_blocks * rows)
-    s, i = pallas_topk_block(queries, resident, nv, TOP_K)
+    s, i = pallas_topk_block_v4(queries, resident, nv, TOP_K)
     np.asarray(s[:1, :1])
     t0 = time.time()
     for _ in range(reps):
-        s, i = pallas_topk_block(queries, resident, nv, TOP_K)
+        s, i = pallas_topk_block_v4(queries, resident, nv, TOP_K)
     np.asarray(s[:1, :1])
     res_el = (time.time() - t0) / reps
 
@@ -281,7 +283,7 @@ def bench_flat(jax, jnp, dtype):
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         n_valid, p_tile = N_PASSAGES, 2048
-        kernel = os.environ.get("BENCH_KERNEL", "v3")
+        kernel = os.environ.get("BENCH_KERNEL", "v4")
         if kernel == "v4":
             from haconvdr_tpu.ops.pallas_topk_v4 import (
                 pallas_topk_block_v4 as block_fn,

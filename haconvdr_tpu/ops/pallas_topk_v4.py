@@ -638,27 +638,51 @@ def sw_al(C: int) -> int:
     return 128 if C >= 128 else max(8, -(-C // 8) * 8)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "q_tile", "p_tile", "q_panel", "seg_width", "budget", "interpret"
+    ),
+)
 def pallas_topk_block_v4(
     queries: jax.Array,
     passages: jax.Array,
     n_valid,
     k: int,
+    q_tile: int = 256,
+    p_tile: int = 0,
+    q_panel: int = 0,
+    seg_width: int = 128,
     budget: int = 4,
     interpret: bool = False,
-    **kw,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact (scores [Q, k], ids [Q, k]) — the v4 fast path with automatic
     v3 fallback when the flagged-window budget overflows (pathological
-    same-window tie mass; detected from the returned flag count)."""
+    same-window tie mass; detected from the returned flag count).
+
+    The fallback is an IN-GRAPH ``lax.cond``, and the whole wrapper is
+    itself jitted (all tuning knobs static): an eager ``lax.cond`` costs
+    ~5 s/dispatch on the TPU relay (measured 4,958 ms vs 66 ms jitted at
+    2.5M f32 x 2048 — the cond executable's operands include the full
+    block), so eager callers like bench.py MUST hit this pre-jitted
+    entry.  Nested-jit callers (BlockSearcher's per-block step,
+    shard_map bodies) inline it with zero overhead; both kernels compile
+    into the program, but only v4 executes unless the budget overflows."""
+    from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
+
     s, i, n_flag = _v4_search(
         queries, passages, jnp.int32(n_valid), k,
-        budget=budget, interpret=interpret, **kw,
+        q_tile=q_tile, p_tile=p_tile, q_panel=q_panel, seg_width=seg_width,
+        budget=budget, interpret=interpret,
     )
-    if int(n_flag) > budget:
-        from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
 
+    def v3_path(_):
         return pallas_topk_block(
             queries, passages, jnp.int32(n_valid), k,
             presample=0, interpret=interpret,
         )
-    return s, i
+
+    def v4_path(_):
+        return s, i
+
+    return jax.lax.cond(n_flag <= budget, v4_path, v3_path, None)

@@ -178,11 +178,19 @@ class BlockSearcher:
         compute_dtype: str = "float32",
         use_pallas: Optional[bool] = None,
         blocks_per_dispatch: int = 1,
+        v4_min_rows: int = 1_500_000,
     ):
         self.top_k = top_k
         self.passage_chunk = passage_chunk
         self.query_chunk = query_chunk
         self.compute_dtype = jnp.dtype(compute_dtype)
+        # the unseeded first block routes through the v4 window-top-2
+        # kernel only above this size: v4's flagged-window rescore is a
+        # fixed ~20-25 ms at Q=2048 (budget x Q window DMAs, independent
+        # of N), so it wins big blocks (2.5M: 61 vs 95 ms) and loses
+        # small ones (622k fused-stream probe: 153 vs 131 ms/4 blocks);
+        # crossover ~1.25M rows
+        self.v4_min_rows = v4_min_rows
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
         self.use_pallas = use_pallas
@@ -195,10 +203,15 @@ class BlockSearcher:
         if use_pallas:
             assert query_chunk % 128 == 0, "pallas path needs 128-aligned query chunks"
 
-        def _one_block(best_s, best_ids, queries, passages, ids_arr, n_valid):
+        def _one_block(
+            best_s, best_ids, queries, passages, ids_arr, n_valid,
+            first=False,
+        ):
             """One block's whole step — per-query-chunk top-k (threshold-
             seeded on the pallas path), local->global id map (":110") and
-            running merge."""
+            running merge.  ``first`` (static) marks the stream's first
+            block: its running best is all -inf, so seeding is useless —
+            the unseeded v4 window-top-2 kernel (1.56x v3) runs instead."""
             Q = best_s.shape[0]
             qn = queries.shape[0]
             if self.use_pallas and qn > Q:
@@ -210,7 +223,11 @@ class BlockSearcher:
             s_parts, i_parts = [], []
             for qs in range(0, qn, self.query_chunk):
                 qe = min(qn, qs + self.query_chunk)
-                init = best_s_pad[qs:qe] if self.use_pallas else None
+                init = (
+                    best_s_pad[qs:qe]
+                    if self.use_pallas and not first
+                    else None
+                )
                 s, i = self._block_topk(queries[qs:qe], passages, n_valid, init)
                 s_parts.append(s)
                 i_parts.append(i)
@@ -230,13 +247,21 @@ class BlockSearcher:
             )
             return new_s, new_ids
 
-        @jax.jit
-        def _search_block(best_s, best_ids, queries, passages, ids_arr, n_valid):
-            return _one_block(best_s, best_ids, queries, passages, ids_arr, n_valid)
+        @functools.partial(jax.jit, static_argnames=("first",))
+        def _search_block(
+            best_s, best_ids, queries, passages, ids_arr, n_valid, first=False
+        ):
+            return _one_block(
+                best_s, best_ids, queries, passages, ids_arr, n_valid,
+                first=first,
+            )
 
-        @functools.partial(jax.jit, static_argnames=("with_scales", "n"))
+        @functools.partial(
+            jax.jit, static_argnames=("with_scales", "n", "first")
+        )
         def _search_blocks(
-            best_s, best_ids, queries, *flat, with_scales=False, n=1
+            best_s, best_ids, queries, *flat, with_scales=False, n=1,
+            first=False,
         ):
             """K blocks in one dispatch (unrolled, threshold seeding
             carried through the running best exactly as the
@@ -254,7 +279,8 @@ class BlockSearcher:
                     emb, ids, nv = item
                     q_eff = queries
                 best_s, best_ids = _one_block(
-                    best_s, best_ids, q_eff, emb, ids, nv
+                    best_s, best_ids, q_eff, emb, ids, nv,
+                    first=first and b == 0,
                 )
             return best_s, best_ids
 
@@ -269,6 +295,19 @@ class BlockSearcher:
         later blocks skip the selection ramp (seed survivors come back
         with id -1 and are dropped at merge)."""
         if self.use_pallas:
+            if init_scores is None and passages.shape[0] >= self.v4_min_rows:
+                # unseeded (first block / single block), big enough to
+                # clear v4's fixed rescore cost: the v4 window-top-2
+                # kernel is the fastest exact path (33.5k vs 21.5k QPS
+                # at 2.5M); it carries an in-graph lax.cond fallback to
+                # v3 on tie overflow
+                from haconvdr_tpu.ops.pallas_topk_v4 import (
+                    pallas_topk_block_v4,
+                )
+
+                return pallas_topk_block_v4(
+                    queries, passages, jnp.int32(n_valid), self.top_k
+                )
             from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
 
             return pallas_topk_block(
@@ -361,11 +400,14 @@ class BlockSearcher:
             return (emb_dev, ids_dev, n_valid, scale_dev)
 
         group: list = []
+        dispatched = False  # False until the first search dispatch: the
+        # stream's first block is statically unseeded -> v4 kernel
 
         def flush_group():
-            nonlocal best_s, best_ids
+            nonlocal best_s, best_ids, dispatched
             if not group:
                 return
+            first = not dispatched
             if len(group) == 1:
                 passages, ids_arr, n_valid, scale_dev = group[0]
                 if scale_dev is None:
@@ -373,7 +415,8 @@ class BlockSearcher:
                 else:  # fold the int8 block's dequant scale into the queries
                     q_eff = queries.astype(jnp.float32) * scale_dev
                 best_s, best_ids = self._search_block(
-                    best_s, best_ids, q_eff, passages, ids_arr, jnp.int32(n_valid)
+                    best_s, best_ids, q_eff, passages, ids_arr,
+                    jnp.int32(n_valid), first=first,
                 )
             else:  # fused dispatch over K equal-shape blocks
                 with_scales = group[0][3] is not None
@@ -384,8 +427,9 @@ class BlockSearcher:
                         flat.append(sc)
                 best_s, best_ids = self._search_blocks(
                     best_s, best_ids, queries, *flat,
-                    with_scales=with_scales, n=len(group),
+                    with_scales=with_scales, n=len(group), first=first,
                 )
+            dispatched = True
             group.clear()
 
         it = iter(blocks)

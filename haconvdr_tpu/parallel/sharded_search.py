@@ -38,6 +38,9 @@ def sharded_topk(
     chunk: int,
     use_pallas: bool = False,
     scales: Optional[jax.Array] = None,  # [n_shards, D] per-shard dequant
+    kernel: str = "v4",  # pallas kernel: "v4" (window-top-2, fastest
+    # unseeded exact path) or "v3" (fused-insert)
+    interpret: bool = False,  # pallas interpret mode (CPU-mesh tests)
 ) -> Tuple[jax.Array, jax.Array]:
     """Replicated ([Q, k] scores, [Q, k] global offsets) over all shards.
 
@@ -58,10 +61,20 @@ def sharded_topk(
             q = q.astype(jnp.float32) * rest[0][shard_id]
         # valid rows in this shard given global n_valid
         local_valid = jnp.clip(n_valid - base, 0, shard_rows)
-        if use_pallas:
+        if use_pallas and kernel == "v4":
+            from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
+
+            s, i = pallas_topk_block_v4(
+                q, p_shard, local_valid.astype(jnp.int32), k,
+                interpret=interpret,
+            )
+        elif use_pallas:
             from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
 
-            s, i = pallas_topk_block(q, p_shard, local_valid.astype(jnp.int32), k)
+            s, i = pallas_topk_block(
+                q, p_shard, local_valid.astype(jnp.int32), k,
+                interpret=interpret,
+            )
         else:
             s, i = topk_block(q, p_shard, local_valid.astype(jnp.int32), k, chunk)
         gi = jnp.where(i >= 0, i + base, -1)

@@ -492,3 +492,63 @@ def test_pallas_select_topk_t_matches_laxtopk(rng):
     for r in range(Q):
         np.testing.assert_array_equal(sd[vi[r], r], vs[r])
         assert len(set(vi[r])) == 4
+
+
+def test_block_searcher_first_block_routes_v4(rng, monkeypatch):
+    """The stream's FIRST block is statically unseeded, so BlockSearcher's
+    real _block_topk must route it through the v4 window-top-2 kernel;
+    later blocks go through the seeded v3 ramp.  Exercised end to end in
+    interpret mode by patching the kernel entries at module level (the
+    usual tests monkeypatch _block_topk itself and so skip this routing)."""
+    import haconvdr_tpu.ops.pallas_topk as v3m
+    import haconvdr_tpu.ops.pallas_topk_v4 as v4m
+
+    calls = {"v4": 0, "v3": 0}
+    real_v4, real_v3 = v4m.pallas_topk_block_v4, v3m.pallas_topk_block
+
+    def spy_v4(q, p, nv, k, **kw):
+        calls["v4"] += 1
+        kw.setdefault("interpret", True)
+        kw.setdefault("p_tile", 256)
+        return real_v4(q, p, nv, k, **kw)
+
+    def spy_v3(q, p, nv, k, **kw):
+        calls["v3"] += 1
+        kw.setdefault("interpret", True)
+        kw.setdefault("p_tile", 256)
+        return real_v3(q, p, nv, k, **kw)
+
+    monkeypatch.setattr(v4m, "pallas_topk_block_v4", spy_v4)
+    monkeypatch.setattr(v3m, "pallas_topk_block", spy_v3)
+
+    Q, D, k = 16, 16, 9
+    q = rng.randn(Q, D).astype(np.float32)
+    blocks = []
+    base, all_emb = 0, []
+    for n in (700, 500):
+        emb = rng.randn(n, D).astype(np.float32)
+        blocks.append((emb, np.arange(base, base + n, dtype=np.int64)))
+        all_emb.append(emb)
+        base += n
+
+    xla = BlockSearcher(top_k=k, passage_chunk=128, use_pallas=False)
+    ref_s, ref_i = xla.search(q, list(blocks))
+
+    pal = BlockSearcher(
+        top_k=k, query_chunk=128, use_pallas=True, v4_min_rows=0
+    )
+    s, i = pal.search(q, list(blocks))
+
+    assert calls["v4"] == 1, calls  # first block only
+    assert calls["v3"] >= 1, calls  # seeded later block
+    np.testing.assert_allclose(s, ref_s, rtol=1e-5)
+    np.testing.assert_array_equal(i, ref_i)
+
+    # below the default v4_min_rows threshold, the first block must stay
+    # on v3 (v4's fixed rescore cost loses on small blocks)
+    calls["v4"] = calls["v3"] = 0
+    small = BlockSearcher(top_k=k, query_chunk=128, use_pallas=True)
+    s2, i2 = small.search(q, list(blocks))
+    assert calls["v4"] == 0 and calls["v3"] >= 2, calls
+    np.testing.assert_allclose(s2, ref_s, rtol=1e-5)
+    np.testing.assert_array_equal(i2, ref_i)

@@ -112,6 +112,34 @@ def test_sharded_index_from_store_bf16(rng, tmp_path):
     assert overlap >= 0.9, overlap
 
 
+def test_sharded_topk_pallas_v4_matches_xla(rng):
+    """The per-shard pallas v4 kernel inside sharded_topk's shard_map body
+    must reproduce the XLA chunked path exactly (scores and global ids),
+    including the cross-shard n_valid clipping on the last shard."""
+    from haconvdr_tpu.parallel.sharded_search import sharded_topk
+
+    mesh = make_mesh()
+    n_valid, d, q, k = 7_777, 32, 128, 23
+    rows = 8 * 1024  # 8 shards x 1024 (v4 p_tile granularity)
+    passages = np.zeros((rows, d), np.float32)
+    passages[:n_valid] = rng.randn(n_valid, d)
+    queries = rng.randn(q, d).astype(np.float32)
+    pj, qj = jnp.asarray(passages), jnp.asarray(queries)
+
+    ref_s, ref_i = sharded_topk(
+        mesh, qj, pj, n_valid, k, chunk=1024, use_pallas=False
+    )
+    for kern in ("v4", "v3"):
+        s, i = sharded_topk(
+            mesh, qj, pj, n_valid, k,
+            chunk=1024, use_pallas=True, kernel=kern, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(ref_s), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
 def test_two_host_encode_simulation(rng, tmp_path):
     """Multi-host corpus encode simulated on the virtual mesh: two
     stride/offset passes (the 'hosts' — the TPU analog of the reference's
