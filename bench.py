@@ -45,14 +45,20 @@ def bench_streaming(jax, jnp):
     (the dev tunnel's ~36 MB/s H2D would otherwise dominate; on real TPU
     VMs staging overlaps the search via async dispatch).  Reports
     streaming QPS plus the overhead ratio vs the same corpus searched as
-    one resident block.  Measured overhead here is dominated by the
-    relay's ~22 ms per-remote-execution latency (a 16k-row call takes
-    23.5 ms with ~1 ms of compute), i.e. one fixed cost per block; the
-    algorithmic per-block ramp is eliminated by threshold seeding
-    (ops/pallas_topk.py init_scores)."""
+    one resident block.
+
+    BENCH_STREAM_MODE selects the strategy:
+      superblock (default) — accumulate blocks into one device-resident
+        buffer (donated dynamic_update_slice) and search each filled
+        buffer ONCE with the unseeded v4 kernel: resident-speed search +
+        ~2.4 ms/block copies regardless of block boundaries.
+      blocks — one fused dispatch over all staged blocks, each searched
+        with the threshold-seeded v3 ramp (the r2 strategy; pays a
+        per-block panel/merge fixed cost)."""
     from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
     from haconvdr_tpu.ops.topk import BlockSearcher
 
+    mode = os.environ.get("BENCH_STREAM_MODE", "superblock")
     n_blocks, rows = 4, 304 * 2048  # 4 x 622,592 = 2.49M
     keys = jax.random.split(jax.random.PRNGKey(0), n_blocks + 1)
     queries = jax.random.normal(keys[0], (N_QUERIES, DIM), jnp.float32)
@@ -63,27 +69,12 @@ def bench_streaming(jax, jnp):
         )
         for b in range(n_blocks)
     ]
-    searcher = BlockSearcher(
-        top_k=TOP_K, query_chunk=2048, use_pallas=True,
-        blocks_per_dispatch=n_blocks,  # round-3: ONE dispatch for all staged
-        # blocks (lax.scan inside the jit) — removes the per-block relay
-        # round-trip the 1.62x overhead was attributed to
-    )
-
-    def run_stream():
-        s, i = searcher.search(queries, blocks, return_device=True)
-        np.asarray(s[:1, :1])  # sync
-        return s
-
-    run_stream()  # compile
-    t0 = time.time()
     reps = 3
-    for _ in range(reps):
-        s = run_stream()
-    stream_el = (time.time() - t0) / reps
 
-    # resident baseline = the DEFAULT resident path (v4 at 2.5M): the
-    # honest denominator for what streaming costs vs the best single block
+    # resident baseline FIRST (then freed): the DEFAULT resident path (v4
+    # at 2.5M) is the honest denominator for what streaming costs vs the
+    # best single block.  Ordering keeps peak HBM at blocks+resident
+    # (15.2 GB) and later blocks+accumulator, never all three.
     resident = jnp.concatenate([b[0] for b in blocks], axis=0)
     nv = jnp.int32(n_blocks * rows)
     s, i = pallas_topk_block_v4(queries, resident, nv, TOP_K)
@@ -93,6 +84,29 @@ def bench_streaming(jax, jnp):
         s, i = pallas_topk_block_v4(queries, resident, nv, TOP_K)
     np.asarray(s[:1, :1])
     res_el = (time.time() - t0) / reps
+    del resident, s, i
+
+    if mode == "superblock":
+        searcher = BlockSearcher(
+            top_k=TOP_K, query_chunk=2048, use_pallas=True,
+            superblock_rows=n_blocks * rows,
+        )
+    else:
+        searcher = BlockSearcher(
+            top_k=TOP_K, query_chunk=2048, use_pallas=True,
+            blocks_per_dispatch=n_blocks,  # ONE dispatch for all staged
+        )
+
+    def run_stream():
+        s, i = searcher.search(queries, blocks, return_device=True)
+        np.asarray(s[:1, :1])  # sync
+        return s
+
+    run_stream()  # compile
+    t0 = time.time()
+    for _ in range(reps):
+        s = run_stream()
+    stream_el = (time.time() - t0) / reps
 
     return {
         "metric": "flat_ip_top100_streaming_qps_4blocks_2.5M",
@@ -100,6 +114,7 @@ def bench_streaming(jax, jnp):
         "unit": "queries/s",
         "vs_baseline": round(N_QUERIES / stream_el / BASELINE_QPS, 3),
         "overhead_vs_resident": round(stream_el / res_el, 3),
+        "mode": mode,
     }
 
 

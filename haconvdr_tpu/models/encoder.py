@@ -138,11 +138,32 @@ def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
 
 
 def _dropout(x, rate, rng):
-    """Inverted dropout; no-op when rng is None (inference/frozen towers)."""
+    """Inverted dropout; no-op when rng is None (inference/frozen towers).
+
+    The mask comes from the TPU's hardware RNG (XLA RngBitGenerator via
+    the ``rbg`` PRNG impl) with a uint16 threshold compare, NOT
+    ``jax.random.bernoulli``: threefry generates one 32-bit counter-mode
+    block per f32 element on the VPU, which measured 215 ms/step of the
+    reference-geometry train step for the [B,H,512,512]x12 attention-probs
+    masks alone (regenerated under remat; .bisect results in NOTES.md).
+    rbg measured 4.8x faster (100.7 -> 20.9 ms per 12-layer mask pass).
+    Deterministic per key on a fixed backend — dropout keys are derived
+    per layer from the train-state threefry key as before; only the BULK
+    bits use rbg.  Threshold quantization bias <= 1/65536 keep-rate."""
     if rng is None or rate <= 0.0:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    keep = 1.0 - rate
+    data = (
+        jax.random.key_data(rng)
+        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+        else rng
+    )
+    rbg = jax.random.wrap_key_data(
+        jnp.concatenate([data, data]).astype(jnp.uint32), impl="rbg"
+    )
+    thresh = jnp.uint16(min(65535, int(round(keep * 65536))))
+    bits = jax.random.bits(rbg, x.shape, jnp.uint16)
+    return jnp.where(bits < thresh, x / keep, jnp.zeros((), x.dtype))
 
 
 def _attention(

@@ -179,6 +179,7 @@ class BlockSearcher:
         use_pallas: Optional[bool] = None,
         blocks_per_dispatch: int = 1,
         v4_min_rows: int = 1_500_000,
+        superblock_rows: int = 0,
     ):
         self.top_k = top_k
         self.passage_chunk = passage_chunk
@@ -191,6 +192,27 @@ class BlockSearcher:
         # small ones (622k fused-stream probe: 153 vs 131 ms/4 blocks);
         # crossover ~1.25M rows
         self.v4_min_rows = v4_min_rows
+        # >0: streaming strategy 2 — instead of one seeded search per
+        # incoming block (a fixed per-block panel/merge cost), copy
+        # blocks into a device-resident [superblock_rows, D] accumulator
+        # (donated dynamic_update_slice, ~2.4 ms per 622k f32 block) and
+        # run ONE unseeded search per FILLED accumulator, so the corpus
+        # is searched at resident speed regardless of how it was
+        # blocked.  v4 has no selection ramp to seed, so merging
+        # super-block results is exact and costs one lax.top_k.  Pick
+        # superblock_rows as large as HBM allows (2048-multiple on the
+        # pallas path) and >= v4_min_rows to get the v4 kernel.  int8
+        # blocks are DEQUANTIZED into the accumulator's compute dtype
+        # (the 4x memory saving does not apply inside the accumulator;
+        # int8-resident serving should use ShardedIndex instead).
+        self.superblock_rows = superblock_rows
+        if superblock_rows:
+            mult = 2048 if use_pallas else passage_chunk
+            assert superblock_rows % mult == 0, (
+                f"superblock_rows must be a multiple of {mult} "
+                "(2048 on the pallas path, else passage_chunk)"
+            )
+        self._sb_buf = None  # cached (buf, idbuf) accumulator pair
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
         self.use_pallas = use_pallas
@@ -284,8 +306,22 @@ class BlockSearcher:
                 )
             return best_s, best_ids
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _sb_insert(buf, idbuf, emb, ids, offset):
+            """Copy one (chunk of a) block into the super-block
+            accumulator in place (donated buffers -> true XLA aliasing,
+            no reallocation); int8 chunks arrive pre-dequantized."""
+            buf = jax.lax.dynamic_update_slice(
+                buf, emb.astype(buf.dtype),
+                (offset, jnp.asarray(0, offset.dtype)),
+            )
+            idbuf = jax.lax.dynamic_update_slice(idbuf, ids, (offset,))
+            return buf, idbuf
+
         self._search_block = _search_block
         self._search_blocks = _search_blocks
+        self._sb_insert = _sb_insert
+        self._init_best = {}  # (Q,) -> cached (-inf scores, -1 ids) pair
 
     def _block_topk(self, queries, passages, n_valid, init_scores=None):
         """Per-block exact top-k: fused Pallas kernel on TPU, blocked XLA
@@ -339,9 +375,15 @@ class BlockSearcher:
         """
         k = self.top_k
         Q = query_embs.shape[0]
-        best_s = jnp.full((Q, k), NEG_INF, jnp.float32)
-        # int32 offsets: corpora up to 2^31 rows (reference max 54.6M)
-        best_ids = jnp.full((Q, k), -1, jnp.int32)
+        if Q not in self._init_best:
+            # cached per query-count: repeated searches skip two eager
+            # device allocations per call (each a relay round-trip here).
+            # int32 offsets: corpora up to 2^31 rows (reference max 54.6M)
+            self._init_best[Q] = (
+                jnp.full((Q, k), NEG_INF, jnp.float32),
+                jnp.full((Q, k), -1, jnp.int32),
+            )
+        best_s, best_ids = self._init_best[Q]
 
         if isinstance(query_embs, jax.Array):
             q_pad = (-Q % 128) if self.use_pallas else 0
@@ -432,23 +474,111 @@ class BlockSearcher:
             dispatched = True
             group.clear()
 
-        it = iter(blocks)
-        nxt = next(it, None)
-        staged = to_device(nxt) if nxt is not None else None
-        while staged is not None:
-            item = staged
+        if self.superblock_rows:
+            best_s, best_ids = self._stream_superblocks(
+                queries, blocks, best_s, best_ids
+            )
+        else:
+            it = iter(blocks)
             nxt = next(it, None)
             staged = to_device(nxt) if nxt is not None else None
-            if group and (
-                item[0].shape != group[0][0].shape
-                or (item[3] is None) != (group[0][3] is None)
-            ):
-                flush_group()  # ragged tail / mixed quantization: own group
-            group.append(item)
-            if len(group) >= self.blocks_per_dispatch:
-                flush_group()
-        flush_group()
+            while staged is not None:
+                item = staged
+                nxt = next(it, None)
+                staged = to_device(nxt) if nxt is not None else None
+                if group and (
+                    item[0].shape != group[0][0].shape
+                    or (item[3] is None) != (group[0][3] is None)
+                ):
+                    flush_group()  # ragged tail / mixed quantization: own group
+                group.append(item)
+                if len(group) >= self.blocks_per_dispatch:
+                    flush_group()
+            flush_group()
 
         if return_device:
             return best_s, best_ids
         return np.asarray(best_s), np.asarray(best_ids)
+
+    def _stream_superblocks(self, queries, blocks, best_s, best_ids):
+        """Streaming strategy 2 (``superblock_rows``): accumulate incoming
+        blocks into one device-resident buffer and search each FILLED
+        buffer once, unseeded, at full resident speed (v4 above
+        v4_min_rows).  Replaces the reference's per-block faiss loop
+        (src/test_HAConvDR_topiocqa.py:77-149) with resident-speed search
+        plus ~ms device copies; exact regardless of block boundaries.
+        ``queries`` arrive already padded/cast by search()."""
+        C = self.superblock_rows
+        buf = idbuf = None
+        fill = 0
+
+        def flush(best_s, best_ids, n_valid):
+            # unseeded (first=True): v4 needs no threshold ramp, and the
+            # running best merges exactly inside _one_block
+            return self._search_block(
+                best_s, best_ids, queries, buf, idbuf,
+                jnp.int32(n_valid), first=True,
+            )
+
+        for item in blocks:
+            emb, ids = item[0], item[1]
+            scale = item[2] if len(item) > 2 else None
+            is_int8 = (
+                emb.dtype == jnp.int8
+                if isinstance(emb, jax.Array)
+                else emb.dtype == np.int8
+            )
+            if is_int8 and scale is None:
+                raise ValueError(
+                    "int8 block without a dequant scale: pass (emb, ids, "
+                    "scale) — see index/quantize.py"
+                )
+            if not isinstance(emb, jax.Array):
+                emb = jnp.asarray(emb)
+            if is_int8:  # dequantize into the accumulator's dtype
+                emb = emb.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)
+            if isinstance(ids, jax.Array):
+                if ids.dtype != jnp.int32:
+                    raise ValueError(
+                        "device-resident block ids must be int32 "
+                        f"(got {ids.dtype}); cast on host where the 2^31 "
+                        "bound is checked"
+                    )
+            else:
+                ids = np.asarray(ids)
+                assert ids.size == 0 or int(ids.max()) < 2**31, "ids exceed int32"
+                ids = jnp.asarray(ids.astype(np.int32))
+            if buf is None:
+                D = emb.shape[1]
+                cached = self._sb_buf
+                if cached is not None and cached[0].shape == (C, D) and (
+                    cached[0].dtype == jnp.dtype(self.compute_dtype)
+                ):
+                    buf, idbuf = cached  # rows beyond fill are masked by
+                    # n_valid at search time, so stale content is harmless
+                else:
+                    buf = jnp.zeros((C, D), self.compute_dtype)
+                    idbuf = jnp.full((C,), -1, jnp.int32)
+                self._sb_buf = None  # consumed (inserts donate it)
+            off = 0
+            n = emb.shape[0]
+            while off < n:
+                take = min(C - fill, n - off)
+                if off == 0 and take == n:  # whole block: skip the slice
+                    e_c, i_c = emb, ids  # (one less eager dispatch)
+                else:
+                    e_c = emb[off : off + take]
+                    i_c = ids[off : off + take]
+                buf, idbuf = self._sb_insert(
+                    buf, idbuf, e_c, i_c, jnp.int32(fill),
+                )
+                fill += take
+                off += take
+                if fill == C:
+                    best_s, best_ids = flush(best_s, best_ids, C)
+                    fill = 0
+        if fill > 0:
+            best_s, best_ids = flush(best_s, best_ids, fill)
+        if buf is not None:
+            self._sb_buf = (buf, idbuf)  # reuse across search() calls
+        return best_s, best_ids

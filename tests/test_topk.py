@@ -144,3 +144,100 @@ def test_block_searcher_multi_block_dispatch(rng):
     s4, i4 = single.search(q, mixed)
     np.testing.assert_array_equal(s3, s4)
     np.testing.assert_array_equal(i3, i4)
+
+
+def test_block_searcher_repeated_searches_independent(rng):
+    """One BlockSearcher instance serves many searches: the cached -inf
+    init buffers (avoiding two eager allocations per call) must not leak
+    state between calls — same query set twice, then a different corpus,
+    all match fresh oracles."""
+    import jax.numpy as jnp
+
+    from haconvdr_tpu.ops.topk import exact_topk_oracle
+
+    k = 7
+    searcher = BlockSearcher(top_k=k, passage_chunk=64, use_pallas=False)
+    q = rng.randn(12, 16).astype(np.float32)
+    p1 = rng.randn(300, 16).astype(np.float32)
+    p2 = rng.randn(200, 16).astype(np.float32)
+    ids1 = np.arange(300, dtype=np.int64)
+    ids2 = np.arange(200, dtype=np.int64) + 1000
+
+    for p, ids in ((p1, ids1), (p1, ids1), (p2, ids2)):
+        s, i = searcher.search(q, [(p, ids)])
+        rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p), k)
+        np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(i, ids[np.asarray(ri)])
+
+
+def test_block_searcher_superblock_matches_oracle(rng):
+    """Super-block streaming (superblock_rows): odd-size blocks crossing
+    accumulator boundaries must give the same exact top-k as the plain
+    per-block path and the oracle, with global ids mapped through."""
+    import jax.numpy as jnp
+
+    from haconvdr_tpu.ops.topk import exact_topk_oracle
+
+    k, D, C = 9, 16, 128
+    sizes = [100, 37, 115, 60]  # 312 rows -> 2 full superblocks + tail
+    blocks, all_emb, base = [], [], 0
+    for n in sizes:
+        emb = rng.randn(n, D).astype(np.float32)
+        blocks.append((emb, np.arange(base, base + n, dtype=np.int64) * 5))
+        all_emb.append(emb)
+        base += n
+    full = np.concatenate(all_emb)
+    ids_all = np.concatenate([b[1] for b in blocks])
+    q = rng.randn(10, D).astype(np.float32)
+
+    sb = BlockSearcher(
+        top_k=k, passage_chunk=64, use_pallas=False, superblock_rows=C
+    )
+    s, i = sb.search(q, list(blocks))
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(full), k)
+    np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i, ids_all[np.asarray(ri)])
+
+    # second search on the SAME searcher with a smaller corpus: stale
+    # accumulator rows from the first stream must be masked by n_valid
+    small = rng.randn(90, D).astype(np.float32)
+    sid = np.arange(90, dtype=np.int64) + 7
+    s2, i2 = sb.search(q, [(small, sid)])
+    rs2, ri2 = exact_topk_oracle(jnp.asarray(q), jnp.asarray(small), k)
+    np.testing.assert_allclose(s2, np.asarray(rs2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i2, sid[np.asarray(ri2)])
+
+
+def test_block_searcher_superblock_int8_dequantized(rng):
+    """int8 blocks are dequantized into the f32 accumulator: results must
+    equal the dequantized-rows oracle exactly (f32 scoring)."""
+    import jax.numpy as jnp
+
+    from haconvdr_tpu.index.quantize import dequantize_int8, quantize_int8
+    from haconvdr_tpu.ops.topk import exact_topk_oracle
+
+    k, D, C = 5, 8, 64
+    q = rng.randn(6, D).astype(np.float32)
+    blocks, deq = [], []
+    base = 0
+    for n in (70, 50):
+        emb = rng.randn(n, D).astype(np.float32)
+        i8, sc = quantize_int8(emb)
+        blocks.append((i8, np.arange(base, base + n, dtype=np.int64), sc))
+        deq.append(dequantize_int8(i8, sc))
+        base += n
+    full = np.concatenate(deq)
+
+    sb = BlockSearcher(
+        top_k=k, passage_chunk=32, use_pallas=False, superblock_rows=C
+    )
+    s, i = sb.search(q, list(blocks))
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(full), k)
+    np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i, np.asarray(ri))
+
+    # int8 without scale must raise, same contract as the per-block path
+    import pytest
+
+    with pytest.raises(ValueError):
+        sb.search(q, [(blocks[0][0], blocks[0][1])])
