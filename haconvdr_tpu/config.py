@@ -179,6 +179,12 @@ class SearchConfig:
     query_chunk: int = 256  # queries per search dispatch
     passage_chunk: int = 131072  # passage tile per scan step
     use_pallas: bool = True
+    # >0: streaming searches accumulate incoming blocks into one
+    # device-resident [superblock_rows, D] buffer and search each filled
+    # buffer once at resident speed (ops/topk.py BlockSearcher
+    # superblock_rows; pick as large as HBM allows, 2048-multiple on the
+    # pallas path).  0 keeps the per-block seeded-ramp strategy.
+    superblock_rows: int = 0
 
 
 @dataclass

@@ -99,7 +99,8 @@ def search_embedding_store(
     s = cfg.search
     store = store or EmbeddingBlockStore.open_auto(s.passage_embeddings_dir_path)
     searcher = BlockSearcher(
-        top_k=s.top_k, passage_chunk=s.passage_chunk, query_chunk=s.query_chunk
+        top_k=s.top_k, passage_chunk=s.passage_chunk, query_chunk=s.query_chunk,
+        superblock_rows=s.superblock_rows,
     )
     # the reference logs per-block search latency (":101-108"); with block
     # prefetch overlapping H2D and compute, per-block attribution is fuzzy,

@@ -111,6 +111,7 @@ class Retriever:
             self.searcher = BlockSearcher(
                 top_k=self.search_cfg.top_k,
                 passage_chunk=self.search_cfg.passage_chunk,
+                superblock_rows=self.search_cfg.superblock_rows,
             )
 
     @classmethod

@@ -298,6 +298,27 @@ def test_search_block_num_limit(pipeline):
     assert (s_all.max(axis=1) >= s_two.max(axis=1)).all()
 
 
+def test_search_superblock_config_plumbed(pipeline):
+    """SearchConfig.superblock_rows routes the streaming search through
+    the super-block accumulator; results must equal the per-block path."""
+    tmp, tok, mcfg, params, corpus, mesh = pipeline
+    from haconvdr_tpu.config import ExperimentConfig, SearchConfig
+    from haconvdr_tpu.retrieval import search_embedding_store
+
+    rng = np.random.RandomState(2)
+    queries = rng.randn(3, mcfg.embedding_dim).astype(np.float32)
+    base = dict(
+        passage_embeddings_dir_path=str(tmp / "embeds"),
+        top_k=5, passage_chunk=8, query_chunk=4,
+    )
+    cfg_pb = ExperimentConfig(search=SearchConfig(**base))
+    cfg_sb = ExperimentConfig(search=SearchConfig(**base, superblock_rows=24))
+    s0, i0 = search_embedding_store(cfg_pb, queries)
+    s1, i1 = search_embedding_store(cfg_sb, queries)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i0, i1)
+
+
 def test_retriever_streaming_mode(pipeline):
     """Retriever with resident=False streams blocks per search."""
     tmp, tok, mcfg, params, corpus, mesh = pipeline
