@@ -168,7 +168,7 @@ def _dropout(x, rate, rng):
 
 def _attention(
     x, mask_bias, p, num_heads, dtype, attn_drop=0.0, rng=None,
-    use_flash=False, attention_mask=None,
+    use_flash=False, attention_mask=None, trainable=False,
 ):
     B, L, H = x.shape
     d = H // num_heads
@@ -189,6 +189,7 @@ def _attention(
 
     if (
         use_flash
+        and not trainable
         and rng is None
         and attention_mask is not None
         and fused_attention_supported(
@@ -203,6 +204,25 @@ def _attention(
 
         ctx = fused_attention_qkv(qkv, attention_mask, num_heads)
         return _dense(ctx, p["output"], dtype)
+
+    if use_flash and trainable and attention_mask is not None:
+        # differentiable fused attention with in-kernel dropout
+        # (ops/flash_attention.py): custom-VJP forward+backward keep the
+        # [L, L] scores/probs/dropout masks in VMEM — the XLA path below
+        # materializes them in HBM three times per layer under remat
+        from haconvdr_tpu.ops.flash_attention import (
+            flash_attention,
+            flash_vjp_supported,
+        )
+
+        if flash_vjp_supported(
+            L, d, num_heads=num_heads, itemsize=jnp.dtype(dtype).itemsize
+        ):
+            ctx = flash_attention(
+                qkv, attention_mask, num_heads,
+                dropout_rng=rng, drop_rate=attn_drop,
+            )
+            return _dense(ctx, p["output"], dtype)
 
     def split_heads(t):
         return t.reshape(B, L, num_heads, d).transpose(0, 2, 1, 3)
@@ -237,10 +257,11 @@ def encoder_hidden_states(
     ``dropout_rng`` enables training-mode dropout with the reference's HF
     placements (embeddings post-LN, attention probs, both residual
     branches); None = eval mode (the reference's frozen/no-grad towers).
-    ``trainable`` marks a tower that gradients flow through: it vetoes the
-    (non-differentiable) fused attention kernel even when dropout is off —
-    rng presence alone cannot distinguish a dropout-free trained tower
-    from an inference pass."""
+    ``trainable`` marks a tower that gradients flow through: it routes
+    attention to the differentiable flash kernel (custom VJP, dropout
+    fused in-kernel; ops/flash_attention.py) instead of the inference-only
+    fused kernel — rng presence alone cannot distinguish a dropout-free
+    trained tower from an inference pass."""
     dtype = jnp.dtype(cfg.dtype)
     hd, ad = cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob
     layers = params["layers"]
@@ -280,8 +301,8 @@ def encoder_hidden_states(
         attn_out = _attention(
             x, mask_bias, layer["attention"], cfg.num_attention_heads, dtype,
             attn_drop=ad, rng=rng_a,
-            use_flash=cfg.use_flash_attention and not trainable,
-            attention_mask=attention_mask,
+            use_flash=cfg.use_flash_attention,
+            attention_mask=attention_mask, trainable=trainable,
         )
         attn_out = _dropout(attn_out, hd, rng_b)
         x = _layer_norm(
@@ -342,8 +363,8 @@ def encode(
     ``doc_emb`` is identical (src/models.py:48-49).  ``dropout_rng``
     activates training-mode dropout (the reference trains the query tower
     in torch train mode, src/train_HAConvDR_topiocqa.py:125); ``trainable``
-    marks the tower gradients flow through (vetoes the non-differentiable
-    fused attention kernel even with dropout off).
+    marks the tower gradients flow through (routes attention to the
+    differentiable flash kernel rather than the inference-only fused one).
     Returns [B, embedding_dim] float32.
     """
     hidden = encoder_hidden_states(
