@@ -100,11 +100,19 @@ class ModelConfig:
     # time).  Default ON: it gates itself off-TPU, under attention-probs
     # dropout, and at unsupported shapes (exact XLA attention fallback).
     use_flash_attention: bool = True
-    # rematerialize each transformer layer in the backward pass
-    # (jax.checkpoint): trades ~30% recompute for dropping the O(B H L^2)
-    # saved attention probs — required to fit batch-64 x 512-token training
-    # on one 16 GB chip.
-    remat: bool = False
+    # rematerialization in the backward pass (jax.checkpoint):
+    #   True  — checkpoint each transformer layer: trades ~30% recompute
+    #           for dropping the O(B H L^2) saved attention probs; needed
+    #           to fit batch-64 x 512-token training on one 16 GB chip
+    #           when the XLA attention path is in use.
+    #   "mlp" — checkpoint only the MLP block: with the flash-VJP
+    #           attention kernel (ops/flash_attention.py) nothing
+    #           [L, L]-shaped is saved anyway, so this drops just the
+    #           [B, L, 4H] MLP intermediates (2.25 GB/layer at reference
+    #           geometry) and re-runs only two dense matmuls — the fastest
+    #           fitting configuration.
+    #   False — save everything (small models / ample HBM).
+    remat: "bool | str" = False
 
     @classmethod
     def tiny(cls, **kw) -> "ModelConfig":
@@ -269,8 +277,15 @@ def load_config(path: Optional[str] = None, overrides: Optional[List[str]] = Non
             if fname not in ftypes:
                 raise ValueError(f"unknown config key: {key!r}")
             cur = getattr(cfg, fname)
-            if isinstance(cur, bool):
-                newv: Any = parse_bool(val)
+            if isinstance(cur, bool) and "str" in str(ftypes[fname]):
+                # bool|str union fields (model.remat: False/True/"mlp"):
+                # boolean-looking strings parse strictly, others pass through
+                try:
+                    newv: Any = parse_bool(val)
+                except ValueError:
+                    newv = val
+            elif isinstance(cur, bool):
+                newv = parse_bool(val)
             elif isinstance(cur, int):
                 newv = int(val)
             elif isinstance(cur, float):

@@ -297,6 +297,24 @@ def encoder_hidden_states(
 
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
+    def mlp_fn(x, layer, rng_c):
+        inter = _gelu(_dense(x, layer["intermediate"], dtype, out_dtype=dtype), dtype)
+        out = _dropout(_dense(inter, layer["output"], dtype), hd, rng_c)
+        return _layer_norm(
+            x + out.astype(x.dtype), layer["output_layer_norm"], cfg.layer_norm_eps,
+            out_dtype=carry_dtype,
+        )
+
+    if cfg.remat == "mlp":
+        # MLP-only remat: with flash attention the attention backward
+        # already recomputes from its own inputs (custom-VJP residuals are
+        # the primals), so full-layer remat only buys back the [B, L, 4H]
+        # MLP intermediates at the price of recomputing the WHOLE layer
+        # forward.  Checkpointing just the MLP block drops those 2.25 GB/
+        # layer stacks (the remat-off OOM driver) while re-running only
+        # two dense matmuls in the backward.
+        mlp_fn = jax.checkpoint(mlp_fn)
+
     def layer_fn(x, layer, rng_a, rng_b, rng_c):
         attn_out = _attention(
             x, mask_bias, layer["attention"], cfg.num_attention_heads, dtype,
@@ -310,14 +328,9 @@ def encoder_hidden_states(
             layer["attention"]["output_layer_norm"], cfg.layer_norm_eps,
             out_dtype=carry_dtype,
         )
-        inter = _gelu(_dense(x, layer["intermediate"], dtype, out_dtype=dtype), dtype)
-        out = _dropout(_dense(inter, layer["output"], dtype), hd, rng_c)
-        return _layer_norm(
-            x + out.astype(x.dtype), layer["output_layer_norm"], cfg.layer_norm_eps,
-            out_dtype=carry_dtype,
-        )
+        return mlp_fn(x, layer, rng_c)
 
-    if cfg.remat:
+    if cfg.remat and cfg.remat != "mlp":
         layer_fn = jax.checkpoint(layer_fn)
 
     if stacked:

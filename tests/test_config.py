@@ -52,6 +52,16 @@ def test_overrides():
         load_config(None, ["no_such_key=1"])
 
 
+def test_remat_union_override():
+    # model.remat is bool|str: booleans parse strictly, "mlp" passes through
+    assert load_config(None, ["model.remat=true"]).model.remat is True
+    assert load_config(None, ["model.remat=false"]).model.remat is False
+    assert load_config(None, ["model.remat=mlp"]).model.remat == "mlp"
+    # strict-bool fields still reject arbitrary strings
+    with pytest.raises(ValueError):
+        load_config(None, ["model.use_flash_attention=mlp"])
+
+
 def test_config_from_argv():
     cfg = config_from_argv(["--search.top_k=9", "data.mode=convqa"])
     assert cfg.search.top_k == 9

@@ -187,6 +187,47 @@ def test_encoder_routes_trainable_to_flash(monkeypatch):
     )
 
 
+def test_remat_mlp_matches_full_remat():
+    """remat="mlp" (checkpoint only the MLP block) must be numerically
+    identical to full-layer remat and to no remat — it changes memory/
+    recompute scheduling only."""
+    import dataclasses
+
+    from haconvdr_tpu.config import ModelConfig
+    from haconvdr_tpu.models import encoder as enc
+
+    cfg = ModelConfig(
+        model_type="ANCE", vocab_size=64, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=256, max_position_embeddings=160,
+        embedding_dim=32, dtype="float32", use_flash_attention=False, remat=True,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+    )
+    params = enc.init_encoder_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 2, 64)
+    mask = jnp.ones((2, 64), jnp.int32)
+    rng = jax.random.PRNGKey(3)
+
+    def loss(p, c):
+        return jnp.sum(
+            enc.encode(p, c, ids, mask, dropout_rng=rng, trainable=True) ** 2
+        )
+
+    results = {}
+    for remat in (True, "mlp", False):
+        c = dataclasses.replace(cfg, remat=remat)
+        results[remat] = jax.value_and_grad(loss)(params, c)
+    for remat in ("mlp", False):
+        np.testing.assert_allclose(
+            float(results[remat][0]), float(results[True][0]), rtol=1e-6
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            results[remat][1], results[True][1],
+        )
+
+
 # ---------------------------------------------------------------------------
 # Dropout path (stateless hash mask — CPU-exact against the oracle)
 # ---------------------------------------------------------------------------
