@@ -118,6 +118,75 @@ def bench_streaming(jax, jnp):
     }
 
 
+def bench_train(jax, jnp):
+    """BENCH_TRAIN=1: reference-geometry contrastive train step.
+
+    B=64, 512-token query tower (grad + dropout) + 4 frozen 384-token
+    passage towers — the reference hot loop
+    (src/train_HAConvDR_topiocqa.py:127-208, bs 64 per README.md:59-74).
+    Fast configuration: bf16 compute, frozen towers bf16 through the
+    fused inference attention kernel, trained tower through the flash-VJP
+    kernel with in-kernel dropout, MLP-only remat.  Timed as 3 steps in
+    one lax.scan dispatch (pure device time).  vs_baseline is the ex/s
+    ratio over the round-1 measurement (76 ex/s, all-f32 XLA attention)."""
+    from haconvdr_tpu.config import ModelConfig, TrainConfig
+    from haconvdr_tpu.models.encoder import init_encoder_params, stack_layer_params
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.train.trainer import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    B, LQ, LD, STEPS = 64, 512, 384, 3
+    rs = np.random.RandomState(0)
+    batch = {
+        "conv_qp": rs.randint(2, 50000, (B, LQ)).astype(np.int32),
+        "conv_qp_mask": np.ones((B, LQ), np.int32),
+        "valid": np.ones((B,), np.int32),
+        "has_pseudo_prepos": np.ones((B,), np.int32),
+        "has_prepos_neg": np.ones((B,), np.int32),
+    }
+    for k in ("pos_docs", "neg_docs", "pseudo_prepos_docs", "prepos_neg_docs"):
+        batch[k] = rs.randint(2, 50000, (B, LD)).astype(np.int32)
+        batch[k + "_mask"] = np.ones((B, LD), np.int32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    mcfg = ModelConfig(dtype="bfloat16", remat="mlp")
+    tcfg = TrainConfig(
+        per_device_train_batch_size=B, accumulation_steps=8,
+        is_pseudo_prepos=True, is_prepos_neg=True, frozen_dtype="bfloat16",
+    )
+    mesh = make_mesh()
+    opt = make_optimizer(tcfg, 1000)
+    step = make_train_step(mesh, mcfg, tcfg, opt)
+    params = stack_layer_params(init_encoder_params(jax.random.PRNGKey(0), mcfg))
+    state = init_train_state(params, opt, seed=1)
+
+    import jax as _jax
+
+    @_jax.jit
+    def multi(state, frozen, batch):
+        def body(s, _):
+            s2, loss = step(s, frozen, batch)
+            return s2, loss
+        return _jax.lax.scan(body, state, None, length=STEPS)
+
+    _, losses = multi(state, params, batch)
+    np.asarray(jax.device_get(losses))  # compile + warm
+    t0 = time.time()
+    _, losses = multi(state, params, batch)
+    np.asarray(jax.device_get(losses))
+    dt = (time.time() - t0) / STEPS
+    exps = B / dt
+    return {
+        "metric": "train_step_examples_per_s_b64_refgeom",
+        "value": round(exps, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(exps / 76.0, 3),  # round-1 all-f32 measurement
+    }
+
+
 def bench_latency(jax, jnp):
     """BENCH_LATENCY=1: online-serving single-query latency over one
     resident 2.5M block (one query rides the same fused kernel with the
@@ -253,6 +322,7 @@ def main():
         "stream": bench_streaming,
         "latency": bench_latency,
         "ivf": bench_ivf,
+        "train": bench_train,
     }
     on_tpu = jax.devices()[0].platform == "tpu"
 
@@ -266,6 +336,7 @@ def main():
             rows.append(bench_latency(jax, jnp))
             rows.append(bench_streaming(jax, jnp))
             rows.append(bench_ivf(jax, jnp))
+            rows.append(bench_train(jax, jnp))
         rows.append(bench_flat(jax, jnp, jnp.float32))
         for r in rows:
             print(json.dumps(r))
