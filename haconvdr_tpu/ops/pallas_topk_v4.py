@@ -104,8 +104,14 @@ def _window_top2_kernel(
         base + jax.lax.broadcasted_iota(jnp.int32, (pt, 1), 0) < nv
     )
     pmat = p_ref[...]
-    if pmat.dtype == jnp.int8:
+    # int8 x int8 -> int32 MXU mode (both operands quantized): the v5e MXU
+    # runs int8 at 2x the bf16 rate, and the 768-term int8 dot is EXACT in
+    # int32 (|s| <= 768*127^2 = 12.4M < 2^24), so the window triples cast
+    # to f32 losslessly and kernel/rescore consistency is bit-perfect.
+    int8_mxu = pmat.dtype == jnp.int8 and q_ref.dtype == jnp.int8
+    if pmat.dtype == jnp.int8 and not int8_mxu:
         pmat = pmat.astype(jnp.bfloat16)
+    acc = jnp.int32 if int8_mxu else jnp.float32
 
     for t in range(QP // qt):
         r0 = t * qt
@@ -113,8 +119,13 @@ def _window_top2_kernel(
             pmat,
             q_ref[r0 : r0 + qt, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )  # [PT, qt]
+        if int8_mxu:
+            # exact int32 -> f32 cast (|s| <= 12.4M < 2^24); Mosaic's
+            # reduce-index (argmax) only lowers for f32, and the f32
+            # selection path below then applies unchanged
+            s = s.astype(jnp.float32)
         s = jnp.where(valid, s, NEG_INF)
         v1s, a1s, v2s = [], [], []
         for g in range(n_win):
@@ -158,10 +169,27 @@ def _v4_search(
     Q, D = queries.shape
     N, D2 = passages.shape
     assert D == D2
-    if (
-        passages.dtype in (jnp.bfloat16, jnp.int8)
-        and queries.dtype != jnp.bfloat16
-    ):
+    q_scale = None
+    if passages.dtype == jnp.int8 and queries.dtype != jnp.int8:
+        # int8 x int8 MXU mode: quantize the (scale-folded) queries with a
+        # per-query symmetric scale.  The MXU runs int8 at 2x bf16, and all
+        # scores become EXACT int32 integers, so the window-triple/rescore
+        # machinery is perfectly self-consistent; the per-query scale is a
+        # positive constant per score column, so the top-k order under
+        # int8 scoring is scale-invariant and applied only to the returned
+        # scores.  vs the previous dequantize-to-bf16 scoring this adds
+        # query-side rounding of ~1/254 per element — below the index's
+        # own int8 quantization error in the int8 serving mode.
+        # (Callers that pre-quantize — pallas_topk_block_v4 does, so its
+        # v3 fallback scores the SAME quantized queries — get the raw
+        # integer scores back and apply their own scale.)
+        qf = queries.astype(jnp.float32)
+        q_scale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-30)  # [Q]
+        queries = (
+            jnp.clip(jnp.round(qf / q_scale[:, None] * 127.0), -127, 127)
+            .astype(jnp.int8)
+        )
+    elif passages.dtype == jnp.bfloat16 and queries.dtype != jnp.bfloat16:
         queries = queries.astype(jnp.bfloat16)
     if p_tile == 0:
         p_tile = 1024
@@ -265,7 +293,11 @@ def _v4_search(
     # full-panel transpose
     top_i = idsT[pos, jnp.arange(Qp)[:, None]]
     top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
-    return top_s[:Q], top_i[:Q], n_flag_max
+    top_s = top_s[:Q]
+    if q_scale is not None:
+        # int8 mode: integer scores -> dequantized f32 (-inf stays -inf)
+        top_s = top_s * (q_scale[:Q, None] / 127.0)
+    return top_s, top_i[:Q], n_flag_max
 
 
 def _select_kernel(
@@ -438,16 +470,18 @@ def _rescore_kernel(
     parts = []
     for b in range(budget):
         w = wrefs[b][...]
-        if w.dtype == jnp.int8:
+        int8_mxu = w.dtype == jnp.int8 and q2.dtype == jnp.int8
+        if w.dtype == jnp.int8 and not int8_mxu:
             w = w.astype(jnp.bfloat16)
-        parts.append(
-            jax.lax.dot_general(
-                q2,
-                w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [1, sw], lane-laid
-        )
+        part = jax.lax.dot_general(
+            q2,
+            w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8_mxu else jnp.float32,
+        )  # [1, sw], lane-laid
+        if int8_mxu:
+            part = part.astype(jnp.float32)  # exact (|s| < 2^24)
+        parts.append(part)
     s_row = jnp.concatenate(parts, axis=1)  # [1, B*sw]
 
     @pl.when(jm == 0)
@@ -667,8 +701,24 @@ def pallas_topk_block_v4(
     block), so eager callers like bench.py MUST hit this pre-jitted
     entry.  Nested-jit callers (BlockSearcher's per-block step,
     shard_map bodies) inline it with zero overhead; both kernels compile
-    into the program, but only v4 executes unless the budget overflows."""
+    into the program, but only v4 executes unless the budget overflows.
+
+    int8 passages: queries are quantized HERE (per-query symmetric int8)
+    so BOTH branches score the same int8 operands — v4 on the int8 MXU
+    path, v3 via its exact int8->bf16 upcast (products <= 127^2 from
+    exact bf16 inputs accumulate exactly in f32, so the two branches are
+    bitwise-consistent integer scores) — and the per-query dequant scale
+    is applied once after the cond."""
     from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
+
+    q_scale = None
+    if passages.dtype == jnp.int8:
+        qf = queries.astype(jnp.float32)
+        q_scale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-30)  # [Q]
+        queries = (
+            jnp.clip(jnp.round(qf / q_scale[:, None] * 127.0), -127, 127)
+            .astype(jnp.int8)
+        )
 
     s, i, n_flag = _v4_search(
         queries, passages, jnp.int32(n_valid), k,
@@ -685,4 +735,8 @@ def pallas_topk_block_v4(
     def v4_path(_):
         return s, i
 
-    return jax.lax.cond(n_flag <= budget, v4_path, v3_path, None)
+    s, i = jax.lax.cond(n_flag <= budget, v4_path, v3_path, None)
+    if q_scale is not None:
+        # integer scores -> dequantized f32 (-inf empty slots stay -inf)
+        s = s * (q_scale[:, None] / 127.0)
+    return s, i

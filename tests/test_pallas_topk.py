@@ -422,8 +422,36 @@ def test_pallas_v4_tie_overflow_falls_back(rng):
         assert len(set(i[r])) == k
 
 
+def _int8_mxu_oracle(q_folded, int8_rows, k):
+    """The v4 int8 x int8 scoring model: per-query symmetric query
+    quantization, exact int32 scores, dequantized by q_scale/127.
+    Returns (top scores, top ids, full integer score matrix)."""
+    qf = q_folded.astype(np.float32)
+    q_scale = np.maximum(np.abs(qf).max(axis=1), 1e-30)
+    qq = np.clip(np.round(qf / q_scale[:, None] * 127.0), -127, 127)
+    full_int = qq.astype(np.int32) @ int8_rows.astype(np.int32).T
+    full = full_int.astype(np.float32) * (q_scale[:, None] / 127.0)
+    rs, ri = jax.lax.top_k(jnp.asarray(full), k)
+    return rs, ri, full_int
+
+
+def _assert_int8_topk(s, i, rs, ri, full_int):
+    """Integer scoring makes exact ties common: assert score vectors
+    equal and each returned id is a valid member of its tie class
+    (its integer score matches the oracle's at that rank)."""
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    i, ri = np.asarray(i), np.asarray(ri)
+    for r in range(i.shape[0]):
+        assert len(set(i[r])) == i.shape[1], "duplicate ids in one row"
+        np.testing.assert_array_equal(
+            full_int[r, i[r]], full_int[r, ri[r]]
+        )
+
+
 def test_pallas_v4_int8(rng):
-    """int8 index through v4: same dequantized-oracle contract as v3."""
+    """int8 index through v4 at a tie-heavy shape (k=10 over 8 windows
+    overflows the flag budget -> v3 fallback): the fallback must score
+    the SAME quantized queries, so the int8 x int8 oracle still holds."""
     from haconvdr_tpu.index.quantize import quantize_int8
     from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
 
@@ -436,11 +464,33 @@ def test_pallas_v4_int8(rng):
         jnp.asarray(q_folded), jnp.asarray(int8_rows), N, k,
         q_tile=64, p_tile=256, interpret=True,
     )
-    qf = jnp.asarray(q_folded, jnp.bfloat16).astype(jnp.float32)
-    full = jnp.dot(qf, jnp.asarray(int8_rows, jnp.float32).T)
-    rs, ri = jax.lax.top_k(full, k)
-    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
-    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    rs, ri, full_int = _int8_mxu_oracle(q_folded, int8_rows, k)
+    _assert_int8_topk(s, i, rs, ri, full_int)
+
+
+def test_pallas_v4_int8_mxu_fast_path(rng):
+    """int8 x int8 MXU mode through the v4 fast path proper (flag count
+    within budget, asserted via _v4_search's returned n_flag): scores
+    equal the exact integer oracle, ids exact."""
+    from haconvdr_tpu.index.quantize import quantize_int8
+    from haconvdr_tpu.ops.pallas_topk_v4 import _v4_search, pallas_topk_block_v4
+
+    Q, N, D, k = 64, 8192, 32, 4
+    emb = rng.randn(N, D).astype(np.float32)
+    queries = rng.randn(Q, D).astype(np.float32)
+    int8_rows, scale = quantize_int8(emb)
+    q_folded = (queries * scale[None, :]).astype(np.float32)
+    _, _, n_flag = _v4_search(
+        jnp.asarray(q_folded), jnp.asarray(int8_rows), jnp.int32(N), k,
+        q_tile=64, p_tile=256, budget=8, interpret=True,
+    )
+    assert int(n_flag) <= 8, "shape chosen to stay within budget"
+    s, i = pallas_topk_block_v4(
+        jnp.asarray(q_folded), jnp.asarray(int8_rows), N, k,
+        q_tile=64, p_tile=256, budget=8, interpret=True,
+    )
+    rs, ri, full_int = _int8_mxu_oracle(q_folded, int8_rows, k)
+    _assert_int8_topk(s, i, rs, ri, full_int)
 
 
 def test_pallas_select_topk_matches_laxtopk(rng):
