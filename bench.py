@@ -152,16 +152,24 @@ def bench_train(jax, jnp):
         batch[k + "_mask"] = np.ones((B, LD), np.int32)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+    frozen_dtype = os.environ.get("BENCH_TRAIN_FROZEN", "int8")
     mcfg = ModelConfig(dtype="bfloat16", remat="mlp")
     tcfg = TrainConfig(
         per_device_train_batch_size=B, accumulation_steps=8,
-        is_pseudo_prepos=True, is_prepos_neg=True, frozen_dtype="bfloat16",
+        is_pseudo_prepos=True, is_prepos_neg=True, frozen_dtype=frozen_dtype,
     )
     mesh = make_mesh()
     opt = make_optimizer(tcfg, 1000)
     step = make_train_step(mesh, mcfg, tcfg, opt)
     params = stack_layer_params(init_encoder_params(jax.random.PRNGKey(0), mcfg))
     state = init_train_state(params, opt, seed=1)
+    frozen = params
+    if frozen_dtype == "int8":
+        # int8 x int8 MXU frozen towers (models/encoder.py
+        # quantize_encoder_params; Trainer.fit does this in production)
+        from haconvdr_tpu.models.encoder import quantize_encoder_params
+
+        frozen = quantize_encoder_params(params)
 
     import jax as _jax
 
@@ -172,10 +180,10 @@ def bench_train(jax, jnp):
             return s2, loss
         return _jax.lax.scan(body, state, None, length=STEPS)
 
-    _, losses = multi(state, params, batch)
+    _, losses = multi(state, frozen, batch)
     np.asarray(jax.device_get(losses))  # compile + warm
     t0 = time.time()
-    _, losses = multi(state, params, batch)
+    _, losses = multi(state, frozen, batch)
     np.asarray(jax.device_get(losses))
     dt = (time.time() - t0) / STEPS
     exps = B / dt
@@ -184,6 +192,59 @@ def bench_train(jax, jnp):
         "value": round(exps, 1),
         "unit": "examples/s",
         "vs_baseline": round(exps / 76.0, 3),  # round-1 all-f32 measurement
+    }
+
+
+def bench_encode(jax, jnp):
+    """BENCH_ENCODE=1: corpus-encode throughput (the reference's
+    gen_doc_embeddings.py hot loop: frozen ANCE tower over 384-token
+    passages).  Pure device time: BATCHES batches scanned inside one jit
+    dispatch, ids generated on device.  BENCH_ENCODE_INT8=0 disables the
+    int8 x int8 MXU weights (quantize_encoder_params; default on — the
+    corpus tower carries no gradients)."""
+    from haconvdr_tpu.config import ModelConfig
+    from haconvdr_tpu.models.encoder import (
+        encode,
+        init_encoder_params,
+        quantize_encoder_params,
+        stack_layer_params,
+    )
+
+    B, L, BATCHES = 512, 384, 4
+    use_int8 = os.environ.get("BENCH_ENCODE_INT8", "1") != "0"
+    mcfg = ModelConfig(dtype="bfloat16")
+    params = stack_layer_params(init_encoder_params(jax.random.PRNGKey(0), mcfg))
+    if use_int8:
+        params = quantize_encoder_params(params)
+
+    import jax as _jax
+
+    @_jax.jit
+    def run(params, key):
+        def body(c, k):
+            ids = jax.random.randint(k, (B, L), 2, 50000, jnp.int32)
+            mask = jnp.ones((B, L), jnp.int32)
+            e = encode(params, mcfg, ids, mask)
+            return c + jnp.sum(e[:, 0]), None
+
+        acc, _ = _jax.lax.scan(
+            body, jnp.float32(0), jax.random.split(key, BATCHES)
+        )
+        return acc
+
+    np.asarray(jax.device_get(run(params, jax.random.PRNGKey(1))))  # warm
+    t0 = time.time()
+    np.asarray(jax.device_get(run(params, jax.random.PRNGKey(2))))
+    dt = time.time() - t0
+    mtoks = B * L * BATCHES / dt / 1e6
+    # vs_baseline follows bench_train's convention: ratio over this
+    # path's own round-1 measurement (0.40 Mtok/s, flash bf16 encode)
+    return {
+        "metric": "corpus_encode_mtok_per_s"
+        + ("_int8" if use_int8 else "_bf16"),
+        "value": round(mtoks, 3),
+        "unit": "Mtok/s",
+        "vs_baseline": round(mtoks / 0.40, 2),
     }
 
 
@@ -323,6 +384,7 @@ def main():
         "latency": bench_latency,
         "ivf": bench_ivf,
         "train": bench_train,
+        "encode": bench_encode,
     }
     on_tpu = jax.devices()[0].platform == "tpu"
 
@@ -337,6 +399,7 @@ def main():
             rows.append(bench_streaming(jax, jnp))
             rows.append(bench_ivf(jax, jnp))
             rows.append(bench_train(jax, jnp))
+            rows.append(bench_encode(jax, jnp))
         rows.append(bench_flat(jax, jnp, jnp.float32))
         for r in rows:
             print(json.dumps(r))

@@ -46,6 +46,11 @@ def main(argv=None):
     )
     mesh = make_mesh()
     n_dev = mesh.devices.size
+    if cfg.index.compute_int8:
+        # int8 x int8 MXU inference (config.IndexConfig.compute_int8)
+        from haconvdr_tpu.models.encoder import quantize_encoder_params
+
+        params = quantize_encoder_params(params)
     encode_fn = make_sharded_encode_fn(mesh, model_cfg)
     params = shard_params(mesh, params)
     store = encode_corpus(

@@ -170,6 +170,13 @@ class IndexConfig:
     # embedding storage dtype: float32 | bfloat16 (halves HBM per passage)
     # | int8 (quarters it; per-block scalar quantization, index/quantize.py)
     store_dtype: str = "float32"
+    # int8-quantize the encoder's dense kernels for corpus encoding
+    # (models/encoder.py:quantize_encoder_params): the six dense matmuls
+    # per layer run the MXU in int8 x int8 at 2x the bf16 rate with
+    # dynamic per-token activation quantization; embeddings/LN/head stay
+    # f32.  Inference-only approximation — embedding quality shifts
+    # slightly (validate with cli.ivf_sweep recall curves on real data).
+    compute_int8: bool = False
 
 
 @dataclass

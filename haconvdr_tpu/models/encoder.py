@@ -112,8 +112,26 @@ def _acc_dtype(dtype):
 
 
 def _dense(x: jax.Array, p: Dict[str, jax.Array], dtype, out_dtype=None) -> jax.Array:
+    k = p["kernel"]
+    if k.dtype == jnp.int8:
+        # int8 x int8 MXU dense (quantize_encoder_params): weights are
+        # per-output-channel symmetric int8; activations are quantized
+        # per-token symmetric HERE (dynamic — one abs-max pass, then the
+        # matmul runs the MXU at 2x the bf16 rate with exact int32
+        # accumulation; |dot| <= 3072*127^2 = 49.5M << 2^31, and the
+        # int32 -> f32 cast error is <= 2^-24 relative).  Dequant =
+        # act_scale/127 x w_scale per (row, out-channel).
+        xf = x.astype(jnp.float32)
+        xs = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-30
+        )
+        xq = jnp.clip(jnp.round(xf / xs * 127.0), -127, 127).astype(jnp.int8)
+        y = jnp.dot(xq, k, preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (xs / 127.0) * p["kernel_scale"]
+        y = y + p["bias"]
+        return y.astype(out_dtype) if out_dtype is not None else y
     y = jnp.dot(
-        x.astype(dtype), p["kernel"].astype(dtype), preferred_element_type=_acc_dtype(dtype)
+        x.astype(dtype), k.astype(dtype), preferred_element_type=_acc_dtype(dtype)
     )
     y = y + p["bias"]
     return y if out_dtype is None else y.astype(out_dtype)
@@ -174,7 +192,9 @@ def _attention(
     d = H // num_heads
 
     # fused QKV: one [H, 3H] matmul instead of three (the concat of the
-    # stacked param slices is trivial next to the projection itself)
+    # stacked param slices is trivial next to the projection itself);
+    # int8 kernels concat along the out axis with their per-out-channel
+    # scales — per-channel semantics are preserved under concat
     qkv_p = {
         "kernel": jnp.concatenate(
             [p["query"]["kernel"], p["key"]["kernel"], p["value"]["kernel"]], axis=-1
@@ -183,6 +203,14 @@ def _attention(
             [p["query"]["bias"], p["key"]["bias"], p["value"]["bias"]]
         ),
     }
+    if "kernel_scale" in p["query"]:
+        qkv_p["kernel_scale"] = jnp.concatenate(
+            [
+                p["query"]["kernel_scale"],
+                p["key"]["kernel_scale"],
+                p["value"]["kernel_scale"],
+            ]
+        )
     qkv = _dense(x, qkv_p, dtype, out_dtype=dtype)
 
     from haconvdr_tpu.ops.fused_attention import fused_attention_supported
@@ -391,6 +419,48 @@ def encode(
         pooled = hidden[:, 0]
     proj = _dense(pooled, params["embedding_head"], jnp.dtype(cfg.dtype))
     return _layer_norm(proj, params["norm"], 1e-5)
+
+
+def quantize_encoder_params(params: EncoderParams) -> EncoderParams:
+    """int8-quantize the transformer layers' dense kernels (per-output-
+    channel symmetric): each dense dict gains ``kernel_scale`` [..., out]
+    and its ``kernel`` becomes int8.  ``_dense`` detects the int8 leaf and
+    runs the int8 x int8 MXU path with dynamic per-token activation
+    quantization (2x the bf16 MXU rate on the six dense matmuls per layer
+    — ~90% of encoder FLOPs at L=512).
+
+    Embeddings, LayerNorms, and the embedding head stay float32: they are
+    cheap and quality-sensitive (the head feeds the retrieval embedding
+    directly).  Intended for gradient-free towers only — the frozen
+    passage towers in training (TrainConfig.frozen_dtype='int8') and
+    corpus encoding; quantized params are derived artifacts, never
+    checkpointed.  Works on both the list-of-layers and the stacked
+    ([num_layers, in, out]) layouts (reduction axis is -2 either way).
+    """
+
+    def quant_tree(t):
+        if isinstance(t, dict):
+            if "kernel" in t and getattr(t["kernel"], "ndim", 0) >= 2:
+                k = jnp.asarray(t["kernel"], jnp.float32)
+                scale = jnp.maximum(
+                    jnp.max(jnp.abs(k), axis=-2, keepdims=True), 1e-30
+                )
+                kq = jnp.clip(jnp.round(k / scale * 127.0), -127, 127).astype(
+                    jnp.int8
+                )
+                return {
+                    **t,
+                    "kernel": kq,
+                    "kernel_scale": (scale / 127.0).reshape(
+                        scale.shape[:-2] + scale.shape[-1:]
+                    ),
+                }
+            return {kk: quant_tree(v) for kk, v in t.items()}
+        if isinstance(t, list):
+            return [quant_tree(v) for v in t]
+        return t
+
+    return {**params, "layers": quant_tree(params["layers"])}
 
 
 def stack_layer_params(params: EncoderParams) -> EncoderParams:

@@ -31,6 +31,8 @@ def encoder_param_pspecs(params: EncoderParams) -> EncoderParams:
     """
 
     stacked = isinstance(params["layers"], dict)
+    sample = params["layers"] if stacked else params["layers"][0]
+    quantized = "kernel_scale" in sample["attention"]["query"]
 
     def layer_spec(_layer=None) -> Dict[str, Any]:
         # stacked layout carries a leading num_layers axis on every leaf
@@ -42,6 +44,12 @@ def encoder_param_pspecs(params: EncoderParams) -> EncoderParams:
             col = {"kernel": P(None, "tp"), "bias": P("tp")}
             row = {"kernel": P("tp", None), "bias": P()}
             ln = {"scale": P(), "bias": P()}
+        if quantized:
+            # int8 kernels (quantize_encoder_params): the per-out-channel
+            # kernel_scale follows the OUT axis — tp-sharded for
+            # column-parallel kernels, replicated for row-parallel ones
+            col = {**col, "kernel_scale": P(None, "tp") if stacked else P("tp")}
+            row = {**row, "kernel_scale": P(None) if stacked else P()}
         return {
             "attention": {
                 "query": dict(col),

@@ -124,8 +124,17 @@ def make_train_step(
     if train_cfg.frozen_dtype and train_cfg.frozen_dtype != model_cfg.dtype:
         import dataclasses
 
+        # "int8": dense kernels arrive pre-quantized (fit() calls
+        # quantize_encoder_params; direct step() users must do the same)
+        # and _dense routes by the int8 kernel leaf — the surrounding
+        # activations/attention run bf16
         frozen_cfg = dataclasses.replace(
-            model_cfg, dtype=train_cfg.frozen_dtype
+            model_cfg,
+            dtype=(
+                "bfloat16"
+                if train_cfg.frozen_dtype == "int8"
+                else train_cfg.frozen_dtype
+            ),
         )
 
     def loss_fn(params, frozen_params, batch, dropout_rng):
@@ -283,6 +292,12 @@ class Trainer:
                 state = restore_train_state(self.state_ckpt_dir, state, step_no)
                 logger.info("resumed train state from step %d", step_no)
         frozen = jax.tree_util.tree_map(jnp.asarray, frozen_params)
+        if cfg.frozen_dtype == "int8":
+            # one-time per-output-channel weight quantization (the per-
+            # token activation side is dynamic, inside _dense)
+            from haconvdr_tpu.models.encoder import quantize_encoder_params
+
+            frozen = quantize_encoder_params(frozen)
 
         best_loss = float("inf")
         global_micro = 0

@@ -200,3 +200,41 @@ def test_stacked_layers_match_list_layout(rng):
     back = unstack_layer_params(stacked)
     out_b = np.asarray(encode(back, cfg, jnp.asarray(ids), jnp.asarray(mask)))
     np.testing.assert_allclose(out_b, ref, rtol=1e-7)
+
+
+def test_int8_quantized_encode_close(rng):
+    """quantize_encoder_params: per-out-channel int8 dense kernels with
+    dynamic per-token activation quantization (_dense int8 path).  The
+    quantized encoder's embeddings must stay near-parallel to f32 (the
+    f32 LayerNorm + embedding head absorb most of the matmul noise), the
+    original params must be untouched, and the stacked-layout
+    quantization must agree bitwise with the list layout."""
+    from haconvdr_tpu.models.encoder import (
+        init_encoder_params,
+        quantize_encoder_params,
+        stack_layer_params,
+    )
+
+    cfg = ModelConfig.tiny()
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    B, L = 4, 12
+    ids = jnp.asarray(rng.randint(4, cfg.vocab_size, (B, L)), jnp.int32)
+    mask = jnp.ones((B, L), jnp.int32)
+    e32 = encode(params, cfg, ids, mask)
+    qp = quantize_encoder_params(params)
+    q_dense = qp["layers"][0]["attention"]["query"]
+    assert q_dense["kernel"].dtype == jnp.int8
+    assert q_dense["kernel_scale"].shape == (cfg.hidden_size,)
+    # original params untouched (quantization returns a new tree)
+    assert params["layers"][0]["attention"]["query"]["kernel"].dtype == jnp.float32
+    e8 = encode(qp, cfg, ids, mask)
+    cos = jnp.sum(e32 * e8, axis=1) / (
+        jnp.linalg.norm(e32, axis=1) * jnp.linalg.norm(e8, axis=1)
+    )
+    assert float(jnp.min(cos)) > 0.999, np.asarray(cos)
+    # embeddings differ from f32 (the path actually quantized something)
+    assert float(jnp.max(jnp.abs(e32 - e8))) > 0.0
+    # stacked layout: same quantization, scan-vs-unrolled only reorders
+    # f32 dequant arithmetic (last-ulp)
+    e8s = encode(quantize_encoder_params(stack_layer_params(params)), cfg, ids, mask)
+    np.testing.assert_allclose(np.asarray(e8s), np.asarray(e8), rtol=1e-5, atol=1e-5)

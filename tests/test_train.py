@@ -437,7 +437,7 @@ def test_frozen_dtype_routes_and_stays_close(rng):
     batch = {k: jnp.asarray(v) for k, v in _tiny_batch(rng, mcfg).items()}
 
     losses = {}
-    for fd in ("", "bfloat16"):
+    for fd in ("", "bfloat16", "int8"):
         tcfg = TrainConfig(
             accumulation_steps=1, learning_rate=5e-3, num_warmup_portion=0.0,
             is_pseudo_prepos=False, is_prepos_neg=False, frozen_dtype=fd,
@@ -447,10 +447,19 @@ def test_frozen_dtype_routes_and_stays_close(rng):
         state = init_train_state(
             jax.tree_util.tree_map(jnp.asarray, params), opt
         )
-        state, loss = step(state, frozen, batch)
+        fz = frozen
+        if fd == "int8":
+            # direct step() users pre-quantize (Trainer.fit does this)
+            from haconvdr_tpu.models.encoder import quantize_encoder_params
+
+            fz = quantize_encoder_params(
+                jax.tree_util.tree_map(jnp.asarray, frozen)
+            )
+        state, loss = step(state, fz, batch)
         losses[fd] = float(loss)
         assert np.isfinite(losses[fd])
-    # bf16 frozen towers shift the loss only by rounding of the frozen
-    # embeddings (the trained tower's numerics are identical)
+    # bf16/int8 frozen towers shift the loss only by rounding of the
+    # frozen embeddings (the trained tower's numerics are identical)
     assert abs(losses[""] - losses["bfloat16"]) < 0.1 * max(1.0, abs(losses[""]))
+    assert abs(losses[""] - losses["int8"]) < 0.1 * max(1.0, abs(losses[""]))
     assert losses[""] != losses["bfloat16"] or True  # may coincide on tiny data
