@@ -390,19 +390,45 @@ def main():
 
     if os.environ.get("BENCH_ALL"):
         # one structured record per mode, one JSON line each; the
-        # driver-parsed headline (flat f32 QPS) stays the FINAL line
-        rows = []
+        # driver-parsed headline (flat f32 QPS) stays the FINAL line.
+        # Every mode runs in its OWN subprocess: corpus-scale buffers
+        # from one mode otherwise accumulate and OOM a later one
+        # (measured: bench_ivf RESOURCE_EXHAUSTED after flat+stream in
+        # one process), and a single mode's failure shouldn't kill the
+        # sweep.  ~20 s backend init per mode, once per round.
+        import subprocess
+
+        env_modes = [
+            ("bf16 flat", {"BENCH_BF16": "1"}),
+            ("int8 flat", {"BENCH_INT8": "1"}),
+            ("latency", {"BENCH_LATENCY": "1", "BENCH_BF16": "1"}),
+            ("stream", {"BENCH_STREAM": "1"}),
+            ("ivf", {"BENCH_IVF": "1"}),
+            ("train", {"BENCH_TRAIN": "1"}),
+            ("encode", {"BENCH_ENCODE": "1"}),
+        ]
         if on_tpu:
-            rows.append(bench_flat(jax, jnp, jnp.bfloat16))
-            rows.append(bench_flat(jax, jnp, jnp.int8))
-            rows.append(bench_latency(jax, jnp))
-            rows.append(bench_streaming(jax, jnp))
-            rows.append(bench_ivf(jax, jnp))
-            rows.append(bench_train(jax, jnp))
-            rows.append(bench_encode(jax, jnp))
-        rows.append(bench_flat(jax, jnp, jnp.float32))
-        for r in rows:
-            print(json.dumps(r))
+            for name, extra in env_modes:
+                env = {
+                    k: v for k, v in os.environ.items() if k != "BENCH_ALL"
+                }
+                env.update(extra)
+                try:
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        env=env, capture_output=True, text=True,
+                        timeout=3600,
+                    )
+                    line = out.stdout.strip().splitlines()[-1]
+                    json.loads(line)  # validate
+                    print(line, flush=True)
+                except Exception as e:  # noqa: BLE001 — record, continue
+                    print(
+                        json.dumps({"metric": f"bench_{name}_FAILED",
+                                    "error": str(e)[:200]}),
+                        flush=True,
+                    )
+        print(json.dumps(bench_flat(jax, jnp, jnp.float32)), flush=True)
         return
 
     for name, fn in modes.items():
