@@ -59,16 +59,33 @@ def bench_streaming(jax, jnp):
     from haconvdr_tpu.ops.topk import BlockSearcher
 
     mode = os.environ.get("BENCH_STREAM_MODE", "superblock")
+    int8 = bool(os.environ.get("BENCH_INT8")) and mode == "superblock"
     n_blocks, rows = 4, 304 * 2048  # 4 x 622,592 = 2.49M
     keys = jax.random.split(jax.random.PRNGKey(0), n_blocks + 1)
     queries = jax.random.normal(keys[0], (N_QUERIES, DIM), jnp.float32)
-    blocks = [
-        (
-            jax.random.normal(keys[b + 1], (rows, DIM), jnp.float32),
-            jnp.arange(b * rows, (b + 1) * rows, dtype=jnp.int32),
+    if int8:
+        # int8 code blocks + one shared per-dim scale (requant factor is
+        # identity; distinct scales cost the same — one [D] multiply)
+        scale = np.asarray(
+            jax.random.uniform(keys[0], (DIM,), jnp.float32, 0.5, 1.5)
         )
-        for b in range(n_blocks)
-    ]
+        blocks = [
+            (
+                jax.random.bits(keys[b + 1], (rows, DIM), jnp.uint8)
+                .astype(jnp.int8),
+                jnp.arange(b * rows, (b + 1) * rows, dtype=jnp.int32),
+                scale,
+            )
+            for b in range(n_blocks)
+        ]
+    else:
+        blocks = [
+            (
+                jax.random.normal(keys[b + 1], (rows, DIM), jnp.float32),
+                jnp.arange(b * rows, (b + 1) * rows, dtype=jnp.int32),
+            )
+            for b in range(n_blocks)
+        ]
     reps = 3
 
     # resident baseline FIRST (then freed): the DEFAULT resident path (v4
@@ -76,12 +93,15 @@ def bench_streaming(jax, jnp):
     # best single block.  Ordering keeps peak HBM at blocks+resident
     # (15.2 GB) and later blocks+accumulator, never all three.
     resident = jnp.concatenate([b[0] for b in blocks], axis=0)
+    q_res = (
+        queries * jnp.asarray(scale)[None, :] if int8 else queries
+    )  # the resident int8 search folds the scale like the accumulator does
     nv = jnp.int32(n_blocks * rows)
-    s, i = pallas_topk_block_v4(queries, resident, nv, TOP_K)
+    s, i = pallas_topk_block_v4(q_res, resident, nv, TOP_K)
     np.asarray(s[:1, :1])
     t0 = time.time()
     for _ in range(reps):
-        s, i = pallas_topk_block_v4(queries, resident, nv, TOP_K)
+        s, i = pallas_topk_block_v4(q_res, resident, nv, TOP_K)
     np.asarray(s[:1, :1])
     res_el = (time.time() - t0) / reps
     del resident, s, i
@@ -90,6 +110,8 @@ def bench_streaming(jax, jnp):
         searcher = BlockSearcher(
             top_k=TOP_K, query_chunk=2048, use_pallas=True,
             superblock_rows=n_blocks * rows,
+            superblock_dtype="int8" if int8 else "",
+            superblock_scale=scale if int8 else None,
         )
     else:
         searcher = BlockSearcher(
@@ -109,7 +131,8 @@ def bench_streaming(jax, jnp):
     stream_el = (time.time() - t0) / reps
 
     return {
-        "metric": "flat_ip_top100_streaming_qps_4blocks_2.5M",
+        "metric": "flat_ip_top100_streaming_qps_4blocks_2.5M"
+        + ("_int8" if int8 else ""),
         "value": round(N_QUERIES / stream_el, 1),
         "unit": "queries/s",
         "vs_baseline": round(N_QUERIES / stream_el / BASELINE_QPS, 3),

@@ -200,6 +200,12 @@ class SearchConfig:
     # superblock_rows; pick as large as HBM allows, 2048-multiple on the
     # pallas path).  0 keeps the per-block seeded-ramp strategy.
     superblock_rows: int = 0
+    # "int8": the super-block accumulator itself stays int8 — 4x the rows
+    # per fill AND the filled buffer searches through v4's int8 x int8
+    # MXU mode; incoming blocks requantize to the store's global_scale()
+    # (derived automatically when all blocks are int8).  "" = accumulate
+    # in the float compute dtype (int8 blocks dequantized on insert).
+    superblock_dtype: str = ""
 
 
 @dataclass

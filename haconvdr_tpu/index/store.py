@@ -249,6 +249,25 @@ class EmbeddingBlockStore:
         p = os.path.join(self.dir_path, f"embscale_block_{block_id}.npy")
         return np.load(p) if self.fmt == "npy" and os.path.exists(p) else None
 
+    def global_scale(self) -> np.ndarray:
+        """Corpus-level per-dim dequant scale: the elementwise max over
+        every int8 block's scale sidecar.  Because each block scale is
+        that block's per-dim abs-max / 127, requantizing any block to this
+        scale never clips — the contract BlockSearcher's int8 super-block
+        accumulator relies on (ops/topk.py)."""
+        out: Optional[np.ndarray] = None
+        for b in range(self.num_blocks()):
+            s = self.block_scale(b)
+            if s is None:
+                raise ValueError(
+                    f"block {b} has no embscale sidecar — global_scale() "
+                    "is only defined for all-int8 stores"
+                )
+            out = s if out is None else np.maximum(out, s)
+        if out is None:
+            raise ValueError("empty store: no blocks to derive a scale from")
+        return np.asarray(out, np.float32)
+
     def iter_blocks(
         self, num_blocks: int = -1, with_scales: bool = False
     ) -> Iterator[Tuple[np.ndarray, ...]]:

@@ -180,6 +180,8 @@ class BlockSearcher:
         blocks_per_dispatch: int = 1,
         v4_min_rows: int = 1_500_000,
         superblock_rows: int = 0,
+        superblock_dtype: str = "",
+        superblock_scale=None,
     ):
         self.top_k = top_k
         self.passage_chunk = passage_chunk
@@ -212,6 +214,28 @@ class BlockSearcher:
                 f"superblock_rows must be a multiple of {mult} "
                 "(2048 on the pallas path, else passage_chunk)"
             )
+        # superblock_dtype="int8": the accumulator itself stays int8 —
+        # 4x the rows per fill vs f32 AND the filled buffer searches
+        # through v4's int8 x int8 MXU mode (49.8k vs 33.5k QPS at 2.5M).
+        # Incoming blocks are REQUANTIZED to one corpus-level per-dim
+        # scale (``superblock_scale``, [D] float32 — use
+        # EmbeddingBlockStore.global_scale(): the elementwise max of the
+        # per-block scales, so requantization never clips); float blocks
+        # quantize directly.  Adds <= 0.5 int8-ulp requant rounding on
+        # top of the int8 serving model's own error.
+        assert superblock_dtype in ("", "int8"), superblock_dtype
+        self.superblock_dtype = superblock_dtype
+        if superblock_dtype == "int8":
+            assert superblock_rows, "superblock_dtype needs superblock_rows"
+            self._sb_dt = jnp.dtype(jnp.int8)
+            self.superblock_scale = (
+                None
+                if superblock_scale is None
+                else np.asarray(superblock_scale, np.float32)
+            )
+        else:
+            self._sb_dt = jnp.dtype(compute_dtype)
+            self.superblock_scale = None
         self._sb_buf = None  # cached (buf, idbuf) accumulator pair
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
@@ -318,9 +342,26 @@ class BlockSearcher:
             idbuf = jax.lax.dynamic_update_slice(idbuf, ids, (offset,))
             return buf, idbuf
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _sb_insert_q(buf, idbuf, emb, ids, offset, factor):
+            """int8-accumulator insert: requantize the incoming chunk to
+            the corpus-level scale in the same fused dispatch.  ``factor``
+            [D] f32 = block_scale/target_scale for int8 code chunks, or
+            1/target_scale for float chunks; with target = elementwise
+            max of block scales the clip never truncates real values."""
+            codes = jnp.clip(
+                jnp.round(emb.astype(jnp.float32) * factor), -127, 127
+            ).astype(jnp.int8)
+            buf = jax.lax.dynamic_update_slice(
+                buf, codes, (offset, jnp.asarray(0, offset.dtype))
+            )
+            idbuf = jax.lax.dynamic_update_slice(idbuf, ids, (offset,))
+            return buf, idbuf
+
         self._search_block = _search_block
         self._search_blocks = _search_blocks
         self._sb_insert = _sb_insert
+        self._sb_insert_q = _sb_insert_q
         self._init_best = {}  # (Q,) -> cached (-inf scores, -1 ids) pair
 
     def _block_topk(self, queries, passages, n_valid, init_scores=None):
@@ -511,12 +552,22 @@ class BlockSearcher:
         C = self.superblock_rows
         buf = idbuf = None
         fill = 0
+        int8_acc = self.superblock_dtype == "int8"
+        if int8_acc:
+            if self.superblock_scale is None:
+                raise ValueError(
+                    "superblock_dtype='int8' needs superblock_scale "
+                    "([D] per-dim corpus scale — "
+                    "EmbeddingBlockStore.global_scale())"
+                )
+            tscale = jnp.asarray(self.superblock_scale, jnp.float32)
+            q_sb = queries.astype(jnp.float32) * tscale  # fold once
 
         def flush(best_s, best_ids, n_valid):
             # unseeded (first=True): v4 needs no threshold ramp, and the
             # running best merges exactly inside _one_block
             return self._search_block(
-                best_s, best_ids, queries, buf, idbuf,
+                best_s, best_ids, q_sb if int8_acc else queries, buf, idbuf,
                 jnp.int32(n_valid), first=True,
             )
 
@@ -535,7 +586,14 @@ class BlockSearcher:
                 )
             if not isinstance(emb, jax.Array):
                 emb = jnp.asarray(emb)
-            if is_int8:  # dequantize into the accumulator's dtype
+            factor = None
+            if int8_acc:  # requantize to the corpus scale inside insert
+                factor = (
+                    jnp.asarray(scale, jnp.float32) / tscale
+                    if is_int8
+                    else 1.0 / tscale
+                )
+            elif is_int8:  # dequantize into the accumulator's dtype
                 emb = emb.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)
             if isinstance(ids, jax.Array):
                 if ids.dtype != jnp.int32:
@@ -552,12 +610,12 @@ class BlockSearcher:
                 D = emb.shape[1]
                 cached = self._sb_buf
                 if cached is not None and cached[0].shape == (C, D) and (
-                    cached[0].dtype == jnp.dtype(self.compute_dtype)
+                    cached[0].dtype == self._sb_dt
                 ):
                     buf, idbuf = cached  # rows beyond fill are masked by
                     # n_valid at search time, so stale content is harmless
                 else:
-                    buf = jnp.zeros((C, D), self.compute_dtype)
+                    buf = jnp.zeros((C, D), self._sb_dt)
                     idbuf = jnp.full((C,), -1, jnp.int32)
                 self._sb_buf = None  # consumed (inserts donate it)
             off = 0
@@ -569,9 +627,14 @@ class BlockSearcher:
                 else:
                     e_c = emb[off : off + take]
                     i_c = ids[off : off + take]
-                buf, idbuf = self._sb_insert(
-                    buf, idbuf, e_c, i_c, jnp.int32(fill),
-                )
+                if int8_acc:
+                    buf, idbuf = self._sb_insert_q(
+                        buf, idbuf, e_c, i_c, jnp.int32(fill), factor
+                    )
+                else:
+                    buf, idbuf = self._sb_insert(
+                        buf, idbuf, e_c, i_c, jnp.int32(fill),
+                    )
                 fill += take
                 off += take
                 if fill == C:

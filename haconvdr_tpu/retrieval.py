@@ -98,9 +98,15 @@ def search_embedding_store(
     (":101-108")."""
     s = cfg.search
     store = store or EmbeddingBlockStore.open_auto(s.passage_embeddings_dir_path)
+    sb_scale = (
+        store.global_scale()
+        if s.superblock_dtype == "int8" and s.superblock_rows
+        else None
+    )
     searcher = BlockSearcher(
         top_k=s.top_k, passage_chunk=s.passage_chunk, query_chunk=s.query_chunk,
         superblock_rows=s.superblock_rows,
+        superblock_dtype=s.superblock_dtype, superblock_scale=sb_scale,
     )
     # the reference logs per-block search latency (":101-108"); with block
     # prefetch overlapping H2D and compute, per-block attribution is fuzzy,

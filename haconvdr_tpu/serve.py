@@ -108,10 +108,18 @@ class Retriever:
         else:
             self.index = None
             self.store = store
+            sb_scale = (
+                store.global_scale()
+                if self.search_cfg.superblock_dtype == "int8"
+                and self.search_cfg.superblock_rows
+                else None
+            )
             self.searcher = BlockSearcher(
                 top_k=self.search_cfg.top_k,
                 passage_chunk=self.search_cfg.passage_chunk,
                 superblock_rows=self.search_cfg.superblock_rows,
+                superblock_dtype=self.search_cfg.superblock_dtype,
+                superblock_scale=sb_scale,
             )
 
     @classmethod

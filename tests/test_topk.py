@@ -241,3 +241,85 @@ def test_block_searcher_superblock_int8_dequantized(rng):
 
     with pytest.raises(ValueError):
         sb.search(q, [(blocks[0][0], blocks[0][1])])
+
+
+def test_block_searcher_superblock_int8_accumulator(rng):
+    """superblock_dtype='int8': blocks requantize into an int8
+    accumulator at the corpus-level scale (store.global_scale semantics)
+    and each filled buffer is searched with the scale folded into the
+    queries.  On the XLA path this scores bf16(q*gscale) @ codes — the
+    test replicates that model exactly; ids must match the replicated
+    model's top-k and scores its values."""
+    import jax
+    import jax.numpy as jnp
+
+    from haconvdr_tpu.index.quantize import quantize_int8
+
+    k, D, C = 7, 16, 64
+    sizes = [50, 30, 60]  # crosses one fill boundary + tail
+    blocks, codes_g, ids_list, scales = [], [], [], []
+    base = 0
+    for n in sizes:
+        emb = rng.randn(n, D).astype(np.float32)
+        q8, sc = quantize_int8(emb)
+        ids = np.arange(base, base + n, dtype=np.int64) * 3
+        blocks.append((q8, ids, sc))
+        ids_list.append(ids)
+        scales.append(sc)
+        base += n
+    gscale = np.maximum.reduce(scales)
+    for (q8, _, sc) in blocks:
+        codes_g.append(
+            np.clip(np.round(q8.astype(np.float32) * (sc / gscale)), -127, 127)
+        )
+    codes_all = np.concatenate(codes_g)
+    ids_all = np.concatenate(ids_list)
+    q = rng.randn(9, D).astype(np.float32)
+
+    sb = BlockSearcher(
+        top_k=k, passage_chunk=32, use_pallas=False,
+        superblock_rows=C, superblock_dtype="int8", superblock_scale=gscale,
+    )
+    s, i = sb.search(q, list(blocks))
+    # replicate the XLA scoring model: bf16(q*gscale) @ bf16(codes), f32 acc
+    qf = jnp.asarray(q * gscale[None, :], jnp.bfloat16).astype(jnp.float32)
+    full = jnp.dot(qf, jnp.asarray(codes_all, jnp.float32).T)
+    rs, ri = jax.lax.top_k(full, k)
+    np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(i, ids_all[np.asarray(ri)])
+
+    # missing scale must raise
+    import pytest
+
+    bad = BlockSearcher(
+        top_k=k, passage_chunk=32, use_pallas=False,
+        superblock_rows=C, superblock_dtype="int8",
+    )
+    with pytest.raises(ValueError, match="superblock_scale"):
+        bad.search(q, list(blocks))
+
+
+def test_store_global_scale(tmp_path, rng):
+    """global_scale == elementwise max of per-block scales; raises on
+    float blocks and empty stores."""
+    import pytest
+
+    from haconvdr_tpu.index.quantize import quantize_int8
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+
+    store = EmbeddingBlockStore(str(tmp_path / "s"), fmt="npy")
+    scales = []
+    for b in range(3):
+        emb = rng.randn(20, 8).astype(np.float32) * (b + 1)
+        q8, sc = quantize_int8(emb)
+        store.write_block(b, q8, np.arange(20, dtype=np.int64), scale=sc)
+        scales.append(sc)
+    np.testing.assert_allclose(
+        store.global_scale(), np.maximum.reduce(scales)
+    )
+
+    fstore = EmbeddingBlockStore(str(tmp_path / "f"), fmt="npy")
+    fstore.write_block(0, rng.randn(4, 8).astype(np.float32),
+                       np.arange(4, dtype=np.int64))
+    with pytest.raises(ValueError, match="no embscale"):
+        fstore.global_scale()
