@@ -426,6 +426,7 @@ def main():
             ("int8 flat", {"BENCH_INT8": "1"}),
             ("latency", {"BENCH_LATENCY": "1", "BENCH_BF16": "1"}),
             ("stream", {"BENCH_STREAM": "1"}),
+            ("stream-int8", {"BENCH_STREAM": "1", "BENCH_INT8": "1"}),
             ("ivf", {"BENCH_IVF": "1"}),
             ("train", {"BENCH_TRAIN": "1"}),
             ("encode", {"BENCH_ENCODE": "1"}),

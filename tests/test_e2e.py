@@ -433,3 +433,44 @@ def test_retriever_ivf_int8(pipeline):
     valid = set(corpus.offset2pid())
     assert all(pid in valid for pid, _ in hits)
     assert all(np.isfinite(s) for _, s in hits)
+
+
+def test_retriever_superblock_int8(pipeline):
+    """Retriever(resident=False) with superblock_dtype='int8': the store's
+    global_scale is derived automatically and the int8 accumulator path
+    returns a full, valid result set (ranking exactness vs the int8 model
+    is pinned in tests/test_topk.py on separated data)."""
+    tmp, tok, mcfg, params, corpus, mesh = pipeline
+    from haconvdr_tpu.config import DataConfig, SearchConfig
+    from haconvdr_tpu.index.quantize import quantize_int8
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+    from haconvdr_tpu.serve import Retriever
+
+    src = EmbeddingBlockStore(str(tmp / "embeds"))
+    dst = EmbeddingBlockStore(str(tmp / "embeds_sb_int8"), fmt="npy")
+    for b, (emb, ids) in enumerate(src.iter_blocks()):
+        q8, sc = quantize_int8(np.asarray(emb, np.float32))
+        dst.write_block(b, q8, ids, scale=sc)
+
+    r = Retriever(
+        tok, params, mcfg, dst,
+        offset2pid=corpus.offset2pid(),
+        data_cfg=DataConfig(
+            is_train=False, use_PRL=False,
+            max_query_length=16, max_doc_length=16, max_concat_length=24,
+        ),
+        search_cfg=SearchConfig(
+            top_k=5, per_device_test_batch_size=1, passage_chunk=8,
+            superblock_rows=24, superblock_dtype="int8",
+        ),
+        resident=False,
+    )
+    assert r.searcher.superblock_dtype == "int8"
+    np.testing.assert_allclose(
+        r.searcher.superblock_scale, dst.global_scale()
+    )
+    hits = r.retrieve(_passage_text(12))
+    assert len(hits) == 5
+    valid = set(corpus.offset2pid())
+    assert all(pid in valid for pid, _ in hits)
+    assert all(np.isfinite(s) for _, s in hits)
