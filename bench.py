@@ -286,11 +286,36 @@ def bench_latency(jax, jnp):
     from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
 
     BASELINE_SINGLE_QUERY_MS = 10.0
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") else jnp.float32
+    if os.environ.get("BENCH_INT8"):
+        dtype = jnp.int8  # halved HBM stream vs bf16 on this HBM-bound path
+    elif os.environ.get("BENCH_BF16"):
+        dtype = jnp.bfloat16
+    else:
+        dtype = jnp.float32
     n_pad = -(-N_PASSAGES // 2048) * 2048
     kq, kp = jax.random.split(jax.random.PRNGKey(0))
-    passages = jax.random.normal(kp, (n_pad, DIM), dtype)
-    query = jax.random.normal(kq, (1, DIM), dtype)
+    if dtype == jnp.int8:
+        # chunked generation: a whole-corpus random.bits materializes
+        # corpus-sized uint32 intermediates (OOM at 2.5M x 768)
+        CH = n_pad // 12
+
+        @jax.jit
+        def gen_chunk(key):
+            return jax.random.bits(key, (CH, DIM), jnp.uint8).astype(jnp.int8)
+
+        insert = jax.jit(
+            lambda b, c, o: jax.lax.dynamic_update_slice(b, c, (o, 0)),
+            donate_argnums=(0,),
+        )
+        passages = jnp.zeros((n_pad, DIM), jnp.int8)
+        for c in range(12):
+            passages = insert(
+                passages, gen_chunk(jax.random.PRNGKey(c)), jnp.int32(c * CH)
+            )
+        query = jax.random.normal(kq, (1, DIM), jnp.bfloat16)
+    else:
+        passages = jax.random.normal(kp, (n_pad, DIM), dtype)
+        query = jax.random.normal(kq, (1, DIM), dtype)
     nv = jnp.int32(N_PASSAGES)
 
     s, i = pallas_topk_block(query, passages, nv, TOP_K)  # compile
@@ -301,8 +326,12 @@ def bench_latency(jax, jnp):
         s, i = pallas_topk_block(query, passages, nv, TOP_K)
     np.asarray(s[:1, :1])
     ms = (time.time() - t0) / reps * 1000.0
+    suffix = (
+        "_int8" if dtype == jnp.int8
+        else "_bf16" if dtype == jnp.bfloat16 else ""
+    )
     return {
-        "metric": "flat_ip_top100_single_query_ms_2.5M",
+        "metric": "flat_ip_top100_single_query_ms_2.5M" + suffix,
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_SINGLE_QUERY_MS / ms, 3),
@@ -425,6 +454,7 @@ def main():
             ("bf16 flat", {"BENCH_BF16": "1"}),
             ("int8 flat", {"BENCH_INT8": "1"}),
             ("latency", {"BENCH_LATENCY": "1", "BENCH_BF16": "1"}),
+            ("latency-int8", {"BENCH_LATENCY": "1", "BENCH_INT8": "1"}),
             ("stream", {"BENCH_STREAM": "1"}),
             ("stream-int8", {"BENCH_STREAM": "1", "BENCH_INT8": "1"}),
             ("ivf", {"BENCH_IVF": "1"}),
