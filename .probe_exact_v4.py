@@ -1,0 +1,103 @@
+"""TPU exactness: fused-select v4 vs lax.top_k oracle (bf16 + int8)."""
+import os
+import jax, jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
+
+assert jax.devices()[0].platform == "tpu"
+N_P, DIM, TOP_K, Q = 300_000, 768, 100, 512
+n_pad = -(-N_P // 2048) * 2048
+
+
+def run(dtype):
+    kq, kp = jax.random.split(jax.random.PRNGKey(7))
+    if dtype == jnp.int8:
+        passages = jax.random.bits(kp, (n_pad, DIM), jnp.uint8).astype(jnp.int8)
+        query = jax.random.normal(kq, (Q, DIM), jnp.bfloat16)
+    else:
+        passages = jax.random.normal(kp, (n_pad, DIM), dtype)
+        query = jax.random.normal(kq, (Q, DIM), dtype)
+    nv = jnp.int32(N_P)
+    s, i = pallas_topk_block_v4(query, passages, nv, TOP_K)
+    s, i = np.asarray(s), np.asarray(i)
+
+    # oracle on device, chunked queries to bound memory
+    if dtype == jnp.int8:
+        # match the wrapper's contract: per-query symmetric int8 queries,
+        # exact integer scores, dequantized once (pallas_topk_v4.py:948-955).
+        # Score INTEGER operands (bf16-exact on the MXU; sums < 2^24 exact
+        # in f32) and apply scale/127 OUTSIDE the dot — a dequantized-f32
+        # oracle dot runs bf16-truncated at default precision and is ~0.4%
+        # off, which is larger than real top-k boundary gaps.
+        pf = passages[:N_P].astype(jnp.float32)
+        # quantize ON DEVICE with the wrapper's exact expression — XLA's
+        # fusion of qf/s*127 differs from np by 1 ulp at .5 boundaries
+        # (measured: 5 codes differ on one of 512 queries otherwise)
+        qfd = query.astype(jnp.float32)
+        q_scale_d = jnp.maximum(jnp.max(jnp.abs(qfd), axis=1), 1e-30)
+        q_int_d = jnp.clip(
+            jnp.round(qfd / q_scale_d[:, None] * 127.0), -127, 127
+        )
+        q_scale = np.asarray(q_scale_d)
+        qf = q_int_d.astype(jnp.float32)
+        descale = q_scale[:, None] / 127.0  # applied to oracle scores
+    else:
+        pf = passages[:N_P]
+        qf = query
+        descale = None
+
+    @jax.jit
+    def oracle(qc, p):
+        sc = jax.lax.dot_general(
+            qc, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jax.lax.top_k(sc, TOP_K)
+
+    oss, ois = [], []
+    for c in range(0, Q, 128):
+        os_, oi_ = oracle(qf[c : c + 128], pf)
+        oss.append(np.asarray(os_)); ois.append(np.asarray(oi_))
+    os_, oi_ = np.concatenate(oss), np.concatenate(ois)
+    if descale is not None:
+        os_ = os_ * descale  # integer oracle scores -> dequantized
+
+    # compare score SETS (ties permute ids); ids must score-match
+    # (int8: kernel scores are int32-exact; the f32 oracle's summation
+    # order costs up to ~12.4M * 2^-24 * scale ~ 0.05 absolute)
+    tol = 1e-3 if dtype != jnp.int8 else 0.01
+    sm = np.abs(np.sort(s, 1) - np.sort(os_, 1)).max()
+    # every returned id must be a true top-k member by score
+    ok_ids = True
+    for q in range(Q):
+        got = set(i[q].tolist())
+        ref = set(oi_[q].tolist())
+        if got != ref:
+            # allow tie swaps: boundary scores equal
+            extra = got - ref
+            if extra:
+                kth = os_[q, -1]
+                for e in extra:
+                    if not np.isclose(
+                        float(
+                            np.asarray(qf[q], np.float64)
+                            @ np.asarray(pf[e], np.float64)
+                        ) * (float(descale[q, 0]) if descale is not None else 1.0),
+                        float(kth), atol=tol,
+                    ):
+                        ok_ids = False
+                        print(f"q={q} id {e} not a tie at kth")
+                        break
+    name = "int8" if dtype == jnp.int8 else dtype.__name__
+    print(f"{name}: max score diff {sm:.6f} ids_ok={ok_ids}", flush=True)
+    assert sm < tol and ok_ids
+
+
+run(jnp.bfloat16)
+run(jnp.int8)
+print("EXACTNESS OK")
