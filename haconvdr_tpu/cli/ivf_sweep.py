@@ -94,10 +94,19 @@ def sweep(
             continue
         for slack in slacks:
             t0 = time.time()
-            index = build_ivf_device(
-                x, nlist=nlist, nprobe=max(nprobes), slack=slack,
-                tail_frac=min(0.5, 4.0 / slack / nlist + 0.1), seed=seed,
-            )
+            try:
+                index = build_ivf_device(
+                    x, nlist=nlist, nprobe=max(nprobes), slack=slack,
+                    tail_frac=min(0.5, 4.0 / slack / nlist + 0.1), seed=seed,
+                )
+            except ValueError as e:
+                # lumpy geometry can overflow a low slack; record the
+                # failed configuration and keep sweeping the rest
+                rows.append({
+                    "nlist": nlist, "slack": slack, "error": str(e),
+                })
+                logger.warning("nlist=%d slack=%.2f: %s", nlist, slack, e)
+                continue
             build_s = time.time() - t0
             bucket_rows = index.buckets.shape[0] * index.buckets.shape[1]
             tail_rows = index.tail.shape[0]

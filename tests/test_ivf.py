@@ -418,3 +418,50 @@ def test_ivf_sweep_harness(rng, tmp_path):
     for r in rows:
         assert r["latency_ms_per_query"] > 0
         assert r["memory_overhead"] >= 1.0
+
+
+def test_ivf_sweep_overflow_row(rng, tmp_path):
+    """A slack too low for a lumpy assignment records an error row and
+    keeps sweeping instead of aborting the whole sweep."""
+    from haconvdr_tpu.cli.ivf_sweep import sweep
+
+    n, d = 512, 16
+    # one dominant mode of EXACTLY identical rows: every copy shares the
+    # same nearest-centroid argmin, so one bucket takes n-8 rows and any
+    # slack*N/nlist capacity with a small tail overflows deterministically
+    x = _mixture(rng, n, d, n_modes=2, spread=0.01).astype(np.float32)
+    x[: n - 8] = x[0]
+    q = x[:16]
+    rows = sweep(x, q, nlists=[8], nprobes=[8], slacks=[1.05, 64.0], k=5)
+    errs = [r for r in rows if "error" in r]
+    ok = [r for r in rows if "recall_at_k" in r]
+    assert errs and errs[0]["slack"] == 1.05
+    assert ok and ok[0]["slack"] == 64.0
+
+
+def test_ivf_geometry_check_cli(tmp_path):
+    """End-to-end geometry harness on a toy encoder: trains a step,
+    embeds, emits a geometry preamble + sweep rows (VERDICT r2 weak #5
+    proxy — real-encoder-manifold IVF recall)."""
+    from haconvdr_tpu.cli.ivf_geometry_check import main as geo_main
+
+    out = tmp_path / "geo.jsonl"
+    rows = geo_main([
+        "n=512", "steps=1", "n_topics=8", "layers=1", "hidden=32",
+        "heads=2", "intermediate=64", "vocab=512", "p_len=16", "q_len=8",
+        "n_queries=32", "batch=16", "nlist=8", "nprobe=2,8",
+        "slack=2.0", "k=10", f"out={out}",
+    ])
+    geo = rows[0]
+    assert geo["metric"] == "geometry" and geo["train_steps"] == 1
+    assert 1.0 <= geo["effective_rank"] <= 32.0
+    assert -1.0 <= geo["mean_cos_to_centroid"] <= 1.0
+    sweep_rows = [r for r in rows[1:] if "recall_at_k" in r]
+    assert sweep_rows, rows[1:]
+    by_probe = {r["nprobe"]: r for r in sweep_rows}
+    assert by_probe[8]["recall_at_k"] >= by_probe[2]["recall_at_k"]
+    assert by_probe[8]["recall_at_k"] >= 0.99  # full probe == exact
+    import json as _json
+
+    disk = [_json.loads(l) for l in open(out)]
+    assert len(disk) == len(rows)
