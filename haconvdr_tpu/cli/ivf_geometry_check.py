@@ -317,6 +317,12 @@ def main(argv=None):
     emb = embed_corpus(params, cfg, n, p_len, n_topics)
     logger.info("embedded %d passages in %.0f s", n, time.time() - t0)
     queries = embed_corpus(params, cfg, n_queries, p_len, n_topics, q_len=q_len)
+    if args.get("save_emb"):
+        # reusable by cli/ivf_sweep.py (embeddings=/queries=) — later
+        # sweeps skip the ~15 min train+embed phase
+        np.save(args["save_emb"], emb)
+        np.save(args["save_emb"].replace(".npy", "") + "_queries.npy", queries)
+        logger.info("saved embeddings to %s", args["save_emb"])
 
     rows = [geometry_stats(emb)]
     rows[0]["train_steps"] = steps
