@@ -1,0 +1,52 @@
+"""int8 schemes on real-encoder geometry: center / rotate / clip.
+
+Global symmetric int8 measured 0.539 recall@100 on the rank-3.4 manifold
+(score noise ~0.11 vs 0.044 median gap).  Variants, all rank-preserving:
+  center:  codes ~ (x - mu);  q.mu is a per-query constant
+  rotate:  codes ~ R(x - mu); score vs Rq — (Rq).(Rx) = q.x exactly
+  clip p:  per-dim scale from the p-th |.| percentile, saturating clip
+"""
+import numpy as np
+import jax, jax.numpy as jnp
+from haconvdr_tpu.ops.topk import BlockSearcher
+
+emb = np.load(".geom_cache/geom_emb.npy")
+q = np.load(".geom_cache/geom_emb_queries.npy")[:512]
+N, D = emb.shape
+searcher = BlockSearcher(top_k=100)
+ids = np.arange(N, dtype=np.int64)
+_, gt = searcher.search(q, [(emb, ids)])
+gt_sets = [set(r[r >= 0].tolist()) for r in gt]
+
+def recall(i):
+    return float(np.mean([
+        len(set(i[r].tolist()) & gt_sets[r]) / max(1, len(gt_sets[r]))
+        for r in range(len(q))
+    ]))
+
+def quant(x, pclip=None):
+    if pclip is None:
+        amax = np.abs(x).max(axis=0)
+    else:
+        amax = np.percentile(np.abs(x), pclip, axis=0)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    codes = np.clip(np.rint(x / scale), -127, 127).astype(np.int8)
+    return codes, scale
+
+rng = np.random.default_rng(0)
+R, _ = np.linalg.qr(rng.standard_normal((D, D)).astype(np.float64))
+R = R.astype(np.float32)
+mu = emb.mean(axis=0)
+
+variants = [
+    ("center",              emb - mu,          q,        None),
+    ("center+clip99.9",     emb - mu,          q,        99.9),
+    ("center+rot",          (emb - mu) @ R,    q @ R,    None),
+    ("center+rot+clip99.9", (emb - mu) @ R,    q @ R,    99.9),
+    ("center+rot+clip99.99",(emb - mu) @ R,    q @ R,    99.99),
+]
+for name, x, qq, pclip in variants:
+    codes, scale = quant(x, pclip)
+    _, i8 = searcher.search(np.ascontiguousarray(qq), [(codes, ids, scale)])
+    noise = float(np.sqrt(np.sum((scale ** 2)) / 12.0) * np.linalg.norm(q[0]) / np.sqrt(D))
+    print(f"{name:22s} recall@100 {recall(i8):.4f}  mean_step {scale.mean():.5f}", flush=True)

@@ -76,7 +76,7 @@ def sweep(
     import jax
     import jax.numpy as jnp
 
-    from haconvdr_tpu.index.ivf import build_ivf_device, ivf_search
+    from haconvdr_tpu.index.ivf import build_ivf_device, ivf_search, quantize_ivf
     from haconvdr_tpu.ops.topk import BlockSearcher
 
     N, D = embeddings.shape
@@ -87,7 +87,10 @@ def sweep(
     gt_sets = [set(row[row >= 0].tolist()) for row in gt_i]
 
     rows = []
-    x = jnp.asarray(embeddings, jnp.dtype(dtype))
+    # "int8" means QUANTIZED buckets (build at bf16, then quantize_ivf —
+    # the serve-path contract), never a raw float->int8 cast
+    int8 = dtype == "int8"
+    x = jnp.asarray(embeddings, jnp.bfloat16 if int8 else jnp.dtype(dtype))
     for nlist in nlists:
         if nlist > N:
             logger.warning("skipping nlist=%d > corpus %d", nlist, N)
@@ -107,6 +110,8 @@ def sweep(
                 })
                 logger.warning("nlist=%d slack=%.2f: %s", nlist, slack, e)
                 continue
+            if int8:
+                index = quantize_ivf(index)
             build_s = time.time() - t0
             bucket_rows = index.buckets.shape[0] * index.buckets.shape[1]
             tail_rows = index.tail.shape[0]

@@ -206,6 +206,13 @@ class SearchConfig:
     # (derived automatically when all blocks are int8).  "" = accumulate
     # in the float compute dtype (int8 blocks dequantized on insert).
     superblock_dtype: str = ""
+    # >1: two-stage serving — the (typically int8-resident) first stage
+    # retrieves ceil(top_k * rescore_oversample) candidates and the exact
+    # rows are re-scored from the FLOAT disk store on the host
+    # (index/rescore.py).  Restores exact recall at int8 HBM cost: on the
+    # real-geometry matrix the true top-100 is 100% inside the int8
+    # top-500 (oversample 5).  0/1 = off.
+    rescore_oversample: float = 0.0
 
 
 @dataclass

@@ -89,29 +89,75 @@ class IVFIndex(NamedTuple):
     # int8 buckets only (quantize_ivf): [D] per-dim dequant scale, folded
     # into the query at search time (index/quantize.py semantics)
     scale: Optional[jax.Array] = None
+    # residual quantization (quantize_ivf by_residual=True): codes store
+    # (row - means[cluster]); search adds the exact q.means[c] back per
+    # probed bucket (and q.mu for the tail, whose rows quantize vs the
+    # global mean).  means [nlist, D] f32, mu [D] f32
+    means: Optional[jax.Array] = None
+    mu: Optional[jax.Array] = None
 
 
-def quantize_ivf(index: IVFIndex) -> IVFIndex:
-    """int8-quantize an IVF index in place on device: one global per-dim
-    symmetric scale over buckets + tail (folded into the query at search,
-    so scores are the inner products of the dequantized rows at bf16 query
-    precision — same contract as the flat int8 index).  Quarters the
-    bucket HBM vs f32, halves it vs bf16."""
+def quantize_ivf(index: IVFIndex, by_residual: bool = True) -> IVFIndex:
+    """int8-quantize an IVF index in place on device.  Quarters the
+    bucket HBM vs f32, halves it vs bf16.
+
+    ``by_residual=True`` (default, the faiss IVF-SQ ``by_residual``
+    analog): buckets store int8 codes of ``row - mean(cluster)`` and the
+    tail stores ``row - mean(corpus)``; at search the exact f32
+    ``q . mean`` correction is added per probed bucket / tail row, so
+    only the (much smaller) residual suffers quantization error.  On
+    real-encoder geometry (effective rank ~3, tight clusters) GLOBAL
+    symmetric int8 loses the neighbor ordering entirely — measured
+    recall@100 = 0.538 vs bf16's 0.998 on the 1M geometry-check manifold
+    (the quantization step exceeds the median rank-100 score gap;
+    mean-centering 0.67, random rotation HURTS 0.62 — see
+    .probe_int8_fix.py) — while cluster residuals shrink the step by the
+    cluster-spread ratio.  ``by_residual=False`` keeps the flat-path
+    global scheme (valid on high-rank manifolds; the synthetic-mixture
+    tests measure 0.987 with it)."""
     if index.scale is not None:
         return index
     from haconvdr_tpu.index.quantize import encode_int8, scale_from_amax
 
+    if not by_residual:
+
+        @jax.jit
+        def q8(buckets, tail):
+            amax = jnp.maximum(
+                jnp.abs(buckets.astype(jnp.float32)).max(axis=(0, 1)),
+                jnp.abs(tail.astype(jnp.float32)).max(axis=0),
+            )
+            scale = scale_from_amax(amax)
+            return encode_int8(buckets, scale), encode_int8(tail, scale), scale
+
+        b8, t8, scale = q8(index.buckets, index.tail)
+        return index._replace(buckets=b8, tail=t8, scale=scale)
+
     @jax.jit
-    def q8(buckets, tail):
+    def q8_res(buckets, bucket_ids, tail, tail_ids):
+        valid_b = (bucket_ids >= 0)[..., None]  # [nlist, cap, 1]
+        valid_t = (tail_ids >= 0)[..., None]  # [rows, 1]
+        bf = buckets.astype(jnp.float32) * valid_b
+        tf = tail.astype(jnp.float32) * valid_t
+        cnt_b = jnp.maximum(valid_b.sum(axis=1), 1.0)  # [nlist, 1]
+        means = bf.sum(axis=1) / cnt_b  # [nlist, D]
+        n_all = jnp.maximum(valid_b.sum() + valid_t.sum(), 1.0)
+        mu = (bf.sum(axis=(0, 1)) + tf.sum(axis=0)) / n_all  # [D]
+        res_b = (bf - means[:, None, :]) * valid_b  # pad rows stay 0
+        res_t = (tf - mu) * valid_t
         amax = jnp.maximum(
-            jnp.abs(buckets.astype(jnp.float32)).max(axis=(0, 1)),
-            jnp.abs(tail.astype(jnp.float32)).max(axis=0),
+            jnp.abs(res_b).max(axis=(0, 1)), jnp.abs(res_t).max(axis=0)
         )
         scale = scale_from_amax(amax)
-        return encode_int8(buckets, scale), encode_int8(tail, scale), scale
+        return (
+            encode_int8(res_b, scale), encode_int8(res_t, scale),
+            scale, means, mu,
+        )
 
-    b8, t8, scale = q8(index.buckets, index.tail)
-    return index._replace(buckets=b8, tail=t8, scale=scale)
+    b8, t8, scale, means, mu = q8_res(
+        index.buckets, index.bucket_ids, index.tail, index.tail_ids
+    )
+    return index._replace(buckets=b8, tail=t8, scale=scale, means=means, mu=mu)
 
 
 def build_ivf(
@@ -315,17 +361,21 @@ def _ivf_search_one(
     k: int,
     nprobe: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    cent, buckets, bucket_ids, tail, tail_ids, scale = index_arrays
+    cent, buckets, bucket_ids, tail, tail_ids, scale, means, mu = index_arrays
     nlist, capacity, D = buckets.shape
-    qn = q.astype(jnp.float32)
-    qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-6)
+    qf = q.astype(jnp.float32)
+    qn = qf / jnp.maximum(jnp.linalg.norm(qf), 1e-6)
     _, probe = jax.lax.top_k(cent @ qn, nprobe)  # [nprobe]
     if scale is None:
         qb = q.astype(buckets.dtype)
         cast = lambda r: r  # noqa: E731
     else:  # int8 buckets: fold the dequant scale into the query
-        qb = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        qb = (qf * scale).astype(jnp.bfloat16)
         cast = lambda r: r.astype(jnp.bfloat16)  # noqa: E731
+    # residual codes (quantize_ivf by_residual): the exact f32 q.mean
+    # correction per cluster — one [nlist, D] matvec, ~1.6 MFLOP
+    cm = None if means is None else means @ qf  # [nlist]
+    tail_corr = jnp.float32(0.0) if mu is None else mu @ qf
 
     # loop the probed buckets with dynamic slices: an XLA gather of the
     # same rows runs ~15x slower on TPU (measured 16 ms vs ~1 ms at
@@ -338,13 +388,15 @@ def _ivf_search_one(
             cast(b), qb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [capacity]
+        if cm is not None:
+            s = s + cm[p]
         return s, pid
 
     scores_p, ids_p = jax.lax.map(per_probe, probe)  # [nprobe, capacity]
     tail_scores = jax.lax.dot_general(
         cast(tail), qb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) + tail_corr
     scores = jnp.concatenate([scores_p.reshape(-1), tail_scores])
     ids = jnp.concatenate([ids_p.reshape(-1), tail_ids])
     scores = jnp.where(ids >= 0, scores, -jnp.inf)  # mask pad rows
@@ -366,7 +418,7 @@ def ivf_search(
     nprobe = min(nprobe, index.centroids.shape[0])
     arrays = (
         index.centroids, index.buckets, index.bucket_ids,
-        index.tail, index.tail_ids, index.scale,
+        index.tail, index.tail_ids, index.scale, index.means, index.mu,
     )
     s, i = _ivf_search_batch(arrays, jnp.asarray(queries), k, nprobe)
     return np.asarray(s), np.asarray(i)
@@ -391,13 +443,15 @@ def save_ivf(index: IVFIndex, dir_path: str) -> None:
     os.makedirs(dir_path, exist_ok=True)
     for name in ("centroids", "buckets", "bucket_ids", "tail", "tail_ids"):
         np.save(os.path.join(dir_path, name + ".npy"), np.asarray(getattr(index, name)))
-    scale_path = os.path.join(dir_path, "scale.npy")
-    if index.scale is not None:
-        np.save(scale_path, np.asarray(index.scale))
-    elif os.path.exists(scale_path):
-        # a float index re-saved over a quantized one must not leave the
-        # stale scale behind (load would fold it into unquantized scores)
-        os.remove(scale_path)
+    for name in ("scale", "means", "mu"):
+        path = os.path.join(dir_path, name + ".npy")
+        val = getattr(index, name)
+        if val is not None:
+            np.save(path, np.asarray(val))
+        elif os.path.exists(path):
+            # a float index re-saved over a quantized one must not leave
+            # stale sidecars behind (load would fold them into scores)
+            os.remove(path)
     with open(os.path.join(dir_path, "ivf_meta.json"), "w") as f:
         json.dump({"nprobe": index.nprobe, "version": 1}, f)
 
@@ -418,7 +472,14 @@ def load_ivf(dir_path: str) -> IVFIndex:
 
     with open(os.path.join(dir_path, "ivf_meta.json")) as f:
         meta = json.load(f)
-    scale_path = os.path.join(dir_path, "scale.npy")
+
+    def _opt(name):
+        return (
+            _load(name)
+            if os.path.exists(os.path.join(dir_path, name + ".npy"))
+            else None
+        )
+
     return IVFIndex(
         centroids=_load("centroids"),
         buckets=_load("buckets"),
@@ -426,5 +487,7 @@ def load_ivf(dir_path: str) -> IVFIndex:
         tail=_load("tail"),
         tail_ids=_load("tail_ids"),
         nprobe=int(meta["nprobe"]),
-        scale=_load("scale") if os.path.exists(scale_path) else None,
+        scale=_opt("scale"),
+        means=_opt("means"),
+        mu=_opt("mu"),
     )

@@ -248,6 +248,14 @@ class BlockSearcher:
         self.blocks_per_dispatch = max(1, blocks_per_dispatch)
         if use_pallas:
             assert query_chunk % 128 == 0, "pallas path needs 128-aligned query chunks"
+        # remember the exact construction args so with_top_k can clone
+        self._init_kw = dict(
+            passage_chunk=passage_chunk, query_chunk=query_chunk,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+            blocks_per_dispatch=blocks_per_dispatch, v4_min_rows=v4_min_rows,
+            superblock_rows=superblock_rows, superblock_dtype=superblock_dtype,
+            superblock_scale=superblock_scale,
+        )
 
         def _one_block(
             best_s, best_ids, queries, passages, ids_arr, n_valid,
@@ -394,6 +402,20 @@ class BlockSearcher:
         return topk_block(
             queries, passages, jnp.int32(n_valid), self.top_k, self.passage_chunk
         )
+
+    def with_top_k(self, top_k: int) -> "BlockSearcher":
+        """A clone with a different k (k is baked into the jitted merge
+        shapes at construction).  Used by the two-stage rescore path to
+        oversample the first stage (serve.Retriever).  k > 128 drops to
+        the XLA selection — the pallas kernels are k<=~128 designs and
+        their selection machinery scales with k (k=500 measured ~20x
+        slower than XLA matmul + lax.top_k)."""
+        if top_k == self.top_k:
+            return self
+        kw = dict(self._init_kw)
+        if top_k > 128:
+            kw["use_pallas"] = False
+        return BlockSearcher(top_k=top_k, **kw)
 
     def search(
         self,

@@ -73,6 +73,8 @@ def shard_ivf(mesh: Mesh, index: IVFIndex) -> IVFIndex:
         tail_ids=jax.device_put(index.tail_ids, row_sh),
         nprobe=index.nprobe,
         scale=None if index.scale is None else jax.device_put(index.scale, rep),
+        means=None if index.means is None else jax.device_put(index.means, rep),
+        mu=None if index.mu is None else jax.device_put(index.mu, rep),
     )
 
 
@@ -88,6 +90,8 @@ def _sharded_ivf_search(
     k: int,
     nprobe: int,
     scale: jax.Array = None,  # [D] int8 dequant scale (quantize_ivf)
+    means: jax.Array = None,  # [nlist, D] residual-quant cluster means
+    mu: jax.Array = None,  # [D] residual-quant tail reference
 ) -> Tuple[jax.Array, jax.Array]:
     fmesh = _flat_mesh(mesh)
     n_shards = fmesh.devices.size
@@ -99,35 +103,42 @@ def _sharded_ivf_search(
         lo = shard * per_shard
 
         def one(q):
-            qn = q.astype(jnp.float32)
-            qn = qn / jnp.maximum(jnp.linalg.norm(qn), 1e-6)
+            qf = q.astype(jnp.float32)
+            qn = qf / jnp.maximum(jnp.linalg.norm(qf), 1e-6)
             _, probe = jax.lax.top_k(cent @ qn, nprobe)  # global cluster ids
             if rest:  # int8 buckets: fold the dequant scale into the query
-                qb = (q.astype(jnp.float32) * rest[0]).astype(jnp.bfloat16)
+                qb = (qf * rest[0]).astype(jnp.bfloat16)
                 cast = lambda r: r.astype(jnp.bfloat16)  # noqa: E731
             else:
                 qb = q.astype(b.dtype)
                 cast = lambda r: r  # noqa: E731
+            # residual codes (quantize_ivf by_residual): exact q.mean
+            # corrections — means/mu are replicated, probe ids are GLOBAL
+            # so cm indexes with the global probe id
+            cm = rest[1] @ qf if len(rest) == 3 else None  # [nlist]
+            t_corr = rest[2] @ qf if len(rest) == 3 else jnp.float32(0.0)
             owned = (probe >= lo) & (probe < lo + per_shard)
             local_idx = jnp.clip(probe - lo, 0, per_shard - 1)
 
             def per_probe(args):
-                p, own = args
+                p, gp, own = args
                 rows = jax.lax.dynamic_index_in_dim(b, p, axis=0, keepdims=False)
                 pid = jax.lax.dynamic_index_in_dim(bi, p, axis=0, keepdims=False)
                 s = jax.lax.dot_general(
                     cast(rows), qb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if cm is not None:
+                    s = s + cm[gp]
                 # non-owned probes are dummy work on clamped indices:
                 # masked out here so only the owning shard reports them
                 return jnp.where(own, s, -jnp.inf), jnp.where(own, pid, -1)
 
-            s_p, i_p = jax.lax.map(per_probe, (local_idx, owned))
+            s_p, i_p = jax.lax.map(per_probe, (local_idx, probe, owned))
             t_s = jax.lax.dot_general(
                 cast(t), qb, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ) + t_corr
             scores = jnp.concatenate([s_p.reshape(-1), t_s])
             ids = jnp.concatenate([i_p.reshape(-1), ti])
             scores = jnp.where(ids >= 0, scores, -jnp.inf)
@@ -143,12 +154,13 @@ def _sharded_ivf_search(
         best_s, pos = jax.lax.top_k(sg, k)
         return best_s, jnp.take_along_axis(ig, pos, axis=1)
 
+    extra = ()
+    if scale is not None:
+        extra = (scale,) if means is None else (scale, means, mu)
     in_specs = (
         P(), P(), P("d", None, None), P("d", None), P("d", None), P("d")
-    ) + ((P(),) if scale is not None else ())
-    args = (queries, centroids, buckets, bucket_ids, tail, tail_ids) + (
-        (scale,) if scale is not None else ()
-    )
+    ) + (P(),) * len(extra)
+    args = (queries, centroids, buckets, bucket_ids, tail, tail_ids) + extra
     fn = jax.shard_map(
         local,
         mesh=fmesh,
@@ -421,6 +433,6 @@ def sharded_ivf_search(
     s, i = _sharded_ivf_search(
         mesh, index.centroids, index.buckets, index.bucket_ids,
         index.tail, index.tail_ids, jnp.asarray(queries), k, nprobe,
-        scale=index.scale,
+        scale=index.scale, means=index.means, mu=index.mu,
     )
     return np.asarray(s), np.asarray(i)

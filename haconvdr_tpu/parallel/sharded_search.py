@@ -156,12 +156,17 @@ class ShardedIndex:
         self._jits = {}
 
     def _search(self, queries, passages, k):
-        # one jitted program per k (retracing shard_map per call is costly)
+        # one jitted program per k (retracing shard_map per call is costly).
+        # k > 128 (rescore-oversampled first stages) routes through the
+        # XLA selection: the pallas kernels are k<=~128 designs — their
+        # insert/flag machinery scales with k (k=500 measured ~20x slower
+        # than the XLA matmul + lax.top_k at 1M x 2048)
         if k not in self._jits:
             self._jits[k] = jax.jit(
                 functools.partial(
                     sharded_topk, self.mesh, n_valid=self.n_valid,
-                    chunk=self.chunk, use_pallas=self.use_pallas, k=k,
+                    chunk=self.chunk,
+                    use_pallas=self.use_pallas and k <= 128, k=k,
                 )
             )
         if self.scales is not None:

@@ -71,6 +71,12 @@ class Retriever:
         self._encode = make_sharded_encode_fn(self.mesh, self.model_cfg)
         self.offset2pid = offset2pid
 
+        # two-stage rescore (SearchConfig.rescore_oversample > 1): the
+        # FLOAT disk store stays available as the exact second stage even
+        # when the resident copy is int8 (index/rescore.py)
+        self._rescore_store = store
+        self._rescorer = None
+
         self.ivf_index = None
         if ivf:  # cluster-pruned serving: replaces the flat index
             from haconvdr_tpu.parallel.sharded_ivf import build_ivf_from_store
@@ -186,21 +192,33 @@ class Retriever:
         self, query_embs: np.ndarray, k: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
         k = k or self.search_cfg.top_k
+        oversample = self.search_cfg.rescore_oversample
+        k1 = int(np.ceil(k * oversample)) if oversample > 1.0 else k
         if self.ivf_index is not None:
             from haconvdr_tpu.parallel.sharded_ivf import sharded_ivf_search
 
             scores, ids = sharded_ivf_search(
-                self.mesh, self.ivf_index, query_embs, k=k
+                self.mesh, self.ivf_index, query_embs, k=k1
             )
         elif self.index is not None:
-            scores, ids = self.index.search(query_embs, k)
+            scores, ids = self.index.search(query_embs, k1)
         else:
+            if k1 != self.searcher.top_k:
+                # the streaming searcher's k is baked at construction;
+                # rebuild once for the oversampled first stage
+                self.searcher = self.searcher.with_top_k(k1)
             scores, ids = self.searcher.search(
                 query_embs,
                 self.store.iter_blocks(
                     self.search_cfg.passage_block_num, with_scales=True
                 ),
             )
+        if k1 != k:  # exact second stage from the float disk store
+            if self._rescorer is None:
+                from haconvdr_tpu.index.rescore import StoreRescorer
+
+                self._rescorer = StoreRescorer(self._rescore_store)
+            scores, ids = self._rescorer.rescore(query_embs, ids, k)
         if self.offset2pid is not None:
             safe = np.clip(ids, 0, len(self.offset2pid) - 1)
             ids = np.where(

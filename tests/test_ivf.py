@@ -181,7 +181,7 @@ def test_int8_quantized_ivf(rng):
     x = _mixture(rng, n, d, n_modes=24)
     q = _mixture(rng, 6, d, n_modes=24)
     index = build_ivf(x, nlist=16, nprobe=16, slack=1.2, seed=6)
-    q8 = quantize_ivf(index)
+    q8 = quantize_ivf(index, by_residual=False)  # the GLOBAL scheme
     assert q8.buckets.dtype == jnp.int8 and q8.scale is not None
     assert quantize_ivf(q8) is q8  # idempotent
 
@@ -418,6 +418,97 @@ def test_ivf_sweep_harness(rng, tmp_path):
     for r in rows:
         assert r["latency_ms_per_query"] > 0
         assert r["memory_overhead"] >= 1.0
+
+
+def test_int8_residual_ivf(rng):
+    """quantize_ivf(by_residual=True) (the default): codes store
+    row - mean(cluster) and search adds the exact q.mean correction.
+
+    On a LOW-RANK + large-common-mode manifold (the real-encoder
+    geometry shape: .probe_int8_fix.py measured global int8 recall@100 =
+    0.538 vs bf16 0.998 on the 1M geometry-check matrix), the global
+    scheme loses the neighbor ordering while residual codes keep it."""
+    from haconvdr_tpu.index.ivf import quantize_ivf
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import shard_ivf, sharded_ivf_search
+
+    n, d, k = 4000, 64, 10
+    # tight clusters riding a large common mode: per-dim amax is dominated
+    # by the offset, so global int8 steps dwarf the within-cluster gaps
+    base = _mixture(rng, n, d, n_modes=32, spread=0.02).astype(np.float32)
+    common = rng.normal(size=(d,)).astype(np.float32) * 8.0
+    x = base + common
+    q = base[:32] + common + rng.normal(size=(32, d)).astype(np.float32) * 0.002
+
+    index = build_ivf(x, nlist=32, nprobe=32, slack=1.3, seed=3)
+    s_f, i_f = ivf_search(index, q, k=k)
+
+    q8g = quantize_ivf(index, by_residual=False)
+    q8r = quantize_ivf(index)  # residual default
+    assert q8r.means is not None and q8r.mu is not None
+    assert quantize_ivf(q8r) is q8r  # idempotent
+
+    _, i_g = ivf_search(q8g, q, k=k)
+    s_r, i_r = ivf_search(q8r, q, k=k)
+    rec_g = np.mean([len(set(i_f[r]) & set(i_g[r])) / k for r in range(len(q))])
+    rec_r = np.mean([len(set(i_f[r]) & set(i_r[r])) / k for r in range(len(q))])
+    assert rec_r >= 0.95, (rec_r, rec_g)
+    assert rec_r > rec_g + 0.2, (rec_r, rec_g)  # global collapses here
+    # scores are the true inner products within residual-quant error
+    np.testing.assert_allclose(s_r, s_f, rtol=0.02, atol=0.02)
+
+    # sharded search over the residual index == single-device
+    mesh = make_mesh()
+    sh = shard_ivf(mesh, q8r)
+    s_s, i_s = sharded_ivf_search(mesh, sh, q, k=k)
+    np.testing.assert_array_equal(i_s, i_r)
+    np.testing.assert_allclose(s_s, s_r, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_residual_ivf_exact_at_zero_residual(rng):
+    """Zero residuals (every row == its cluster mean) make the residual
+    int8 scores EXACTLY the f32 correction q.mean — equal to the float
+    index's scores at f32 tolerance."""
+    from haconvdr_tpu.index.ivf import IVFIndex, quantize_ivf
+
+    d, k, nlist, cap = 16, 4, 8, 16
+    centers = rng.normal(size=(nlist, d)).astype(np.float32) * 3.0
+    # hand-built index (build_ivf's k-means can merge duplicate-valued
+    # clusters and spill, which would reintroduce residuals): one bucket
+    # per center, every row equal to it, empty always-padded tail
+    buckets = np.repeat(centers[:, None, :], cap, axis=1)
+    bucket_ids = np.arange(nlist * cap, dtype=np.int32).reshape(nlist, cap)
+    index = IVFIndex(
+        centroids=jnp.asarray(
+            centers / np.linalg.norm(centers, axis=1, keepdims=True)
+        ),
+        buckets=jnp.asarray(buckets),
+        bucket_ids=jnp.asarray(bucket_ids),
+        tail=jnp.zeros((8, d), jnp.float32),
+        tail_ids=jnp.full((8,), -1, jnp.int32),
+        nprobe=nlist,
+    )
+    q = rng.normal(size=(5, d)).astype(np.float32)
+    q8 = quantize_ivf(index)
+    s_f, _ = ivf_search(index, q, k=k)
+    s_r, _ = ivf_search(q8, q, k=k)
+    np.testing.assert_allclose(s_r, s_f, rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_sweep_int8(rng, tmp_path):
+    """dtype=int8 sweeps QUANTIZED buckets (build bf16 -> quantize_ivf,
+    the serve-path contract, never a raw float->int8 cast): recall at
+    full probe stays high and the rows carry the dtype tag."""
+    from haconvdr_tpu.cli.ivf_sweep import sweep
+
+    n, d = 2000, 16
+    x = _mixture(rng, n, d, n_modes=16)
+    q = _mixture(rng, 32, d, n_modes=16)
+    rows = sweep(x, q, nlists=[16], nprobes=[16], slacks=[1.3], k=10,
+                 dtype="int8")
+    ok = [r for r in rows if "recall_at_k" in r]
+    assert ok and ok[0]["dtype"] == "int8"
+    assert ok[0]["recall_at_k"] >= 0.9  # full probe, int8 rounding only
 
 
 def test_ivf_sweep_overflow_row(rng, tmp_path):

@@ -1,0 +1,148 @@
+"""Two-stage serving: int8 coarse scan + exact host rescore
+(haconvdr_tpu/index/rescore.py).
+
+Motivation (measured, .probe_int8_err.py): per-dim uniform int8 noise
+accumulates over 768 dims and exceeds the neighbor score gaps on
+low-effective-rank encoder manifolds (recall@100 0.86 flat / 0.68 IVF
+vs lossless bf16); the true top-100 is 100% contained in the int8
+top-500, so an oversampled first stage + exact rescore restores exact
+quality at int8 HBM cost.  Beyond the reference (faiss f32 flat only,
+/root/reference/src/test_HAConvDR_topiocqa.py:74-162)."""
+
+import numpy as np
+import pytest
+
+from haconvdr_tpu.index.quantize import quantize_int8
+from haconvdr_tpu.index.rescore import StoreRescorer
+from haconvdr_tpu.index.store import EmbeddingBlockStore
+from haconvdr_tpu.ops.topk import BlockSearcher
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _hard_manifold(rng, n, d, common=4.0):
+    """Tight clusters riding a large common mode — the geometry where
+    global int8 loses the neighbor ordering (real-encoder proxy; at
+    common=4.0 the raw int8 top-10 matches only ~0.5 of the exact top-10
+    while the exact top-10 is 100% inside the int8 top-100)."""
+    centers = rng.normal(size=(32, d)).astype(np.float32) * 0.5
+    assign = rng.integers(0, 32, size=n)
+    x = centers[assign] + rng.normal(size=(n, d)).astype(np.float32) * 0.02
+    return x + rng.normal(size=(d,)).astype(np.float32) * common
+
+
+def _queries_from(rng, emb, nq):
+    """Perturbed corpus rows: guaranteed near neighbors."""
+    return emb[:nq] + rng.normal(size=(nq, emb.shape[1])).astype(np.float32) * 0.01
+
+
+def _write_store(tmp_path, emb, n_blocks=3, ids=None):
+    store = EmbeddingBlockStore(str(tmp_path / "store"))
+    n = len(emb)
+    ids = np.arange(n, dtype=np.int64) if ids is None else ids
+    per = -(-n // n_blocks)
+    for b in range(n_blocks):
+        sl = slice(b * per, min((b + 1) * per, n))
+        store.write_block(b, emb[sl], ids[sl])
+    return store
+
+
+def test_rescore_restores_exact_topk(rng, tmp_path):
+    """int8 first stage top-3k + exact rescore == the f32 exact top-k
+    (ids and scores), on a manifold where raw int8 ranking is wrong."""
+    n, d, k = 4000, 64, 10
+    emb = _hard_manifold(rng, n, d)
+    q = _queries_from(rng, emb, 16)
+    store = _write_store(tmp_path, emb)
+
+    searcher = BlockSearcher(top_k=k)
+    exact_s, exact_i = searcher.search(q, [(emb, np.arange(n, dtype=np.int64))])
+
+    codes, scale = quantize_int8(emb)
+    s1 = BlockSearcher(top_k=10 * k)
+    cand_s, cand_i = s1.search(q, [(codes, np.arange(n, dtype=np.int64), scale)])
+    # raw int8 ordering must actually be broken here, else the test is vacuous
+    raw_match = np.mean([
+        len(set(cand_i[r][:k]) & set(exact_i[r])) / k for r in range(len(q))
+    ])
+    assert raw_match < 0.9, raw_match
+
+    rescorer = StoreRescorer(store)
+    s, i = rescorer.rescore(q, cand_i, k)
+    np.testing.assert_array_equal(i, exact_i)
+    np.testing.assert_allclose(s, exact_s, rtol=1e-5, atol=1e-5)
+
+
+def test_rescore_non_contiguous_ids(rng, tmp_path):
+    """Blocks whose global ids are NOT arange fall back to the sorted
+    locator and still gather the right rows."""
+    n, d = 600, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    store = _write_store(tmp_path, emb, ids=ids)
+    r = StoreRescorer(store)
+    pick = rng.choice(n, 40, replace=False)
+    np.testing.assert_allclose(r.gather(ids[pick]), emb[pick], rtol=1e-6)
+    with pytest.raises(KeyError):
+        r.gather(np.array([10_001], np.int64))
+
+
+def test_rescore_pads_and_short_rows(rng, tmp_path):
+    """-1 candidates are ignored; rows with fewer than k valid candidates
+    pad with -1/-inf (the first-stage contract)."""
+    n, d, k = 64, 8, 5
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    store = _write_store(tmp_path, emb, n_blocks=1)
+    r = StoreRescorer(store)
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    ids = np.array([[3, 1, -1, -1, -1, -1], [7, -1, -1, -1, -1, -1]], np.int64)
+    s, i = r.rescore(q, ids, k)
+    assert i.shape == (2, k)
+    np.testing.assert_allclose(s[0][0], max(q[0] @ emb[3], q[0] @ emb[1]), rtol=1e-6)
+    assert i[0][2] == -1 and not np.isfinite(s[0][2])
+    assert i[1][0] == 7 and i[1][1] == -1
+
+
+def test_rescore_rejects_int8_store(rng, tmp_path):
+    """The rescore source must be the FLOAT disk store."""
+    n, d = 32, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    codes, scale = quantize_int8(emb)
+    store = EmbeddingBlockStore(str(tmp_path / "store"))
+    store.write_block(0, codes, np.arange(n, dtype=np.int64), scale=scale)
+    with pytest.raises(ValueError, match="float block store"):
+        StoreRescorer(store)
+
+
+def test_retriever_two_stage(rng, tmp_path):
+    """serve.Retriever(store_dtype='int8', rescore_oversample=3): the
+    returned scores are the EXACT f32 inner products from the disk store
+    (the second stage), not quantized first-stage scores."""
+    from haconvdr_tpu.parallel.sharded_search import ShardedIndex  # noqa: F401  (env sanity)
+    from haconvdr_tpu.config import SearchConfig
+    from haconvdr_tpu.serve import Retriever
+
+    n, d, k = 2048, 32, 5
+    emb = _hard_manifold(rng, n, d, common=2.0)
+    store = _write_store(tmp_path, emb)
+
+    r = Retriever.__new__(Retriever)
+    r.search_cfg = SearchConfig(top_k=k, rescore_oversample=10.0)
+    r.offset2pid = None
+    r.ivf_index = None
+    r._rescore_store = store
+    r._rescorer = None
+    from haconvdr_tpu.parallel.mesh import make_mesh
+
+    r.mesh = make_mesh()
+    r.index = ShardedIndex.from_store(r.mesh, store, dtype="int8")
+    q = _queries_from(rng, emb, 4)
+    s, i = r.search(q, k)
+    exact_s, exact_i = BlockSearcher(top_k=k).search(
+        q, [(emb, np.arange(n, dtype=np.int64))]
+    )
+    np.testing.assert_array_equal(i, exact_i)
+    np.testing.assert_allclose(s, exact_s, rtol=1e-5, atol=1e-5)
