@@ -75,6 +75,9 @@ def shard_ivf(mesh: Mesh, index: IVFIndex) -> IVFIndex:
         scale=None if index.scale is None else jax.device_put(index.scale, rep),
         means=None if index.means is None else jax.device_put(index.means, rep),
         mu=None if index.mu is None else jax.device_put(index.mu, rep),
+        tail_scale=None if index.tail_scale is None else jax.device_put(
+            index.tail_scale, rep
+        ),
     )
 
 
@@ -92,6 +95,7 @@ def _sharded_ivf_search(
     scale: jax.Array = None,  # [D] int8 dequant scale (quantize_ivf)
     means: jax.Array = None,  # [nlist, D] residual-quant cluster means
     mu: jax.Array = None,  # [D] residual-quant tail reference
+    tail_scale: jax.Array = None,  # [D] residual tail's own scale
 ) -> Tuple[jax.Array, jax.Array]:
     fmesh = _flat_mesh(mesh)
     n_shards = fmesh.devices.size
@@ -106,17 +110,25 @@ def _sharded_ivf_search(
             qf = q.astype(jnp.float32)
             qn = qf / jnp.maximum(jnp.linalg.norm(qf), 1e-6)
             _, probe = jax.lax.top_k(cent @ qn, nprobe)  # global cluster ids
-            if rest:  # int8 buckets: fold the dequant scale into the query
+            if rest and rest[0].ndim == 1:
+                # int8 buckets, one global scale: pre-fold the query
                 qb = (qf * rest[0]).astype(jnp.bfloat16)
+                cast = lambda r: r.astype(jnp.bfloat16)  # noqa: E731
+            elif rest:  # int8, PER-CLUSTER scales: fold inside per_probe
+                qb = None
                 cast = lambda r: r.astype(jnp.bfloat16)  # noqa: E731
             else:
                 qb = q.astype(b.dtype)
                 cast = lambda r: r  # noqa: E731
             # residual codes (quantize_ivf by_residual): exact q.mean
             # corrections — means/mu are replicated, probe ids are GLOBAL
-            # so cm indexes with the global probe id
-            cm = rest[1] @ qf if len(rest) == 3 else None  # [nlist]
-            t_corr = rest[2] @ qf if len(rest) == 3 else jnp.float32(0.0)
+            # so cm indexes with the global probe id; tail rows carry
+            # their own (larger) residual scale
+            cm = rest[1] @ qf if len(rest) == 4 else None  # [nlist]
+            t_corr = rest[2] @ qf if len(rest) == 4 else jnp.float32(0.0)
+            qb_t = (
+                (qf * rest[3]).astype(jnp.bfloat16) if len(rest) == 4 else qb
+            )
             owned = (probe >= lo) & (probe < lo + per_shard)
             local_idx = jnp.clip(probe - lo, 0, per_shard - 1)
 
@@ -124,8 +136,13 @@ def _sharded_ivf_search(
                 p, gp, own = args
                 rows = jax.lax.dynamic_index_in_dim(b, p, axis=0, keepdims=False)
                 pid = jax.lax.dynamic_index_in_dim(bi, p, axis=0, keepdims=False)
+                qb_p = (
+                    qb
+                    if qb is not None
+                    else (qf * rest[0][gp]).astype(jnp.bfloat16)
+                )
                 s = jax.lax.dot_general(
-                    cast(rows), qb, (((1,), (0,)), ((), ())),
+                    cast(rows), qb_p, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 if cm is not None:
@@ -136,7 +153,7 @@ def _sharded_ivf_search(
 
             s_p, i_p = jax.lax.map(per_probe, (local_idx, probe, owned))
             t_s = jax.lax.dot_general(
-                cast(t), qb, (((1,), (0,)), ((), ())),
+                cast(t), qb_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + t_corr
             scores = jnp.concatenate([s_p.reshape(-1), t_s])
@@ -156,7 +173,9 @@ def _sharded_ivf_search(
 
     extra = ()
     if scale is not None:
-        extra = (scale,) if means is None else (scale, means, mu)
+        extra = (
+            (scale,) if means is None else (scale, means, mu, tail_scale)
+        )
     in_specs = (
         P(), P(), P("d", None, None), P("d", None), P("d", None), P("d")
     ) + (P(),) * len(extra)
@@ -227,6 +246,7 @@ def build_ivf_from_store(
     seed: int = 0,
     num_blocks: int = -1,
     chunk_rows: int = 65_536,
+    by_residual: bool = True,
 ) -> IVFIndex:
     """Mesh-sharded IVF build straight from an EmbeddingBlockStore — the
     pod-scale replacement for ``index.ivf.build_ivf_device`` (single-HBM)
@@ -241,12 +261,22 @@ def build_ivf_from_store(
     (tests assert this on the virtual mesh).
 
     Three streaming passes over the store: (0) strided k-means sample
-    (+ per-dim amax when ``dtype='int8'``), (1) chunked device-side
-    cluster assignment keeping only an int32 per row on the host, (2)
+    (+ per-dim amax when ``dtype='int8'`` with ``by_residual=False``),
+    (1) chunked device-side cluster assignment (+ per-cluster mean
+    accumulation) keeping only an int32 per row on the host, (2)
     scatter — each block's rows are routed to their owning shard in
     fixed-size padded chunks and folded into that shard's flat slab with a
     donated in-place scatter.  The tail is sized to the measured spill
     (no tail_frac guess, no overflow failure mode).
+
+    ``dtype='int8'`` defaults to RESIDUAL quantization (the
+    index.ivf.quantize_ivf by_residual scheme: codes store
+    ``row - mean(cluster)``, tail rows ``row - mean(corpus)``, search adds
+    the exact q.mean corrections) — the global scheme measured
+    recall@100 = 0.539 on real-encoder geometry (NOTES.md).  Residual
+    scales need the final means before encoding, so it costs one extra
+    streaming pass (per-row residual amax); ``by_residual=False`` keeps
+    the 3-pass global build.
     """
     fmesh = _flat_mesh(mesh)
     devices = list(fmesh.devices.reshape(-1))
@@ -265,13 +295,15 @@ def build_ivf_from_store(
         raise ValueError(f"corpus has {N} rows < nlist={nlist}")
     nprobe = min(nprobe, nlist)
 
-    # pass 0: strided sample for k-means (+ amax for the int8 scale)
+    residual = is_int8 and by_residual
+    # pass 0: strided sample for k-means (+ amax for the GLOBAL int8
+    # scale; the residual scale needs the final means, see pass 1.5)
     stride = max(1, N // train_rows)
     sample_parts = []
     amax = None
     for emb, _ids in store.iter_blocks(nb):
         sample_parts.append(np.asarray(emb[::stride], np.float32))
-        if is_int8:
+        if is_int8 and not residual:
             a = np.abs(np.asarray(emb, np.float32)).max(axis=0)
             amax = a if amax is None else np.maximum(amax, a)
     sample = np.concatenate(sample_parts)[: max(train_rows, nlist)]
@@ -280,16 +312,20 @@ def build_ivf_from_store(
         jnp.asarray(sample), nlist, kmeans_iters, jax.random.PRNGKey(seed)
     )
     del sample_parts, sample
-    scale = None
     if is_int8:
         from haconvdr_tpu.index.quantize import encode_int8, scale_from_amax
-
+    scale = None
+    if is_int8 and not residual:
         scale = scale_from_amax(jnp.asarray(amax))
         scale_np = np.asarray(scale)
 
-    # pass 1: chunked assignment; host keeps int32 per row (216 MB at 54M)
+    # pass 1: chunked assignment; host keeps int32 per row (216 MB at
+    # 54M).  Residual builds also accumulate per-cluster sums/counts on
+    # the host (means for the residual codes; [nlist, D] f64 accumulator)
     assign = np.empty((N,), np.int32)
     ids_all = np.empty((N,), np.int64)
+    msum = np.zeros((nlist, D), np.float64) if residual else None
+    mcnt = np.zeros((nlist,), np.int64) if residual else None
     row = 0
     for emb, ids in store.iter_blocks(nb):
         ids_all[row : row + len(ids)] = ids
@@ -302,8 +338,26 @@ def build_ivf_from_store(
                 )
             a = np.asarray(_assign_chunk(jnp.asarray(xc), cent, nlist))
             assign[row + s : row + s + n] = a[:n]
+            if residual:
+                # reduceat over cluster-sorted rows: O(n D) without the
+                # notoriously slow np.add.at scatter
+                o = np.argsort(a[:n], kind="stable")
+                a_srt = a[:n][o]
+                starts = np.flatnonzero(
+                    np.r_[True, a_srt[1:] != a_srt[:-1]]
+                )
+                sums = np.add.reduceat(xc[:n][o], starts, axis=0)
+                uniq = a_srt[starts]
+                msum[uniq] += sums
+                mcnt += np.bincount(a_srt, minlength=nlist)
         row += emb.shape[0]
     assert ids_all.max() < 2**31, "ids exceed int32 (IVF ids are int32)"
+    means_np = mu_np = None
+    if residual:
+        means_np = np.where(
+            mcnt[:, None] > 0, msum / np.maximum(mcnt[:, None], 1), 0.0
+        ).astype(np.float32)
+        mu_np = (msum.sum(axis=0) / max(N, 1)).astype(np.float32)
 
     # destinations: rank-within-cluster in corpus order (same fill rule as
     # build_ivf_device's stable sort), overflow round-robins to shard tails
@@ -327,6 +381,46 @@ def build_ivf_from_store(
         (assign % per_shard).astype(np.int64) * capacity + rank,
         per_shard * capacity + spill_rank // n_shards,
     ).astype(np.int32)
+
+    tail_scale = tail_scale_np = None
+    if residual:
+        # pass 1.5: exact per-dim residual amax — SEPARATE for bucket
+        # rows (vs their cluster mean) and spill rows (vs the corpus
+        # mean): tail residuals are much larger and a shared scale would
+        # inflate the bucket step by their ratio.  The residual scale
+        # cannot come from pass 0 because the means are only final after
+        # pass 1; sampling instead would clip outliers
+        amax_b = np.zeros((nlist, D), np.float32)  # per-cluster per-dim
+        amax_t = np.zeros((D,), np.float32)
+        row = 0
+        for emb, _ids in store.iter_blocks(nb):
+            nrow = emb.shape[0]
+            for s in range(0, nrow, chunk_rows):
+                xc = np.asarray(emb[s : s + chunk_rows], np.float32)
+                sl = slice(row + s, row + s + xc.shape[0])
+                ib = in_bucket[sl]
+                if ib.any():
+                    a = assign[sl][ib]
+                    res = np.abs(xc[ib] - means_np[a])
+                    # reduceat-max over cluster-sorted rows (cheap
+                    # per-cluster reduction, same trick as the means)
+                    o = np.argsort(a, kind="stable")
+                    a_srt = a[o]
+                    starts = np.flatnonzero(
+                        np.r_[True, a_srt[1:] != a_srt[:-1]]
+                    )
+                    mx = np.maximum.reduceat(res[o], starts, axis=0)
+                    uniq = a_srt[starts]
+                    amax_b[uniq] = np.maximum(amax_b[uniq], mx)
+                if (~ib).any():
+                    amax_t = np.maximum(
+                        amax_t, np.abs(xc[~ib] - mu_np).max(axis=0)
+                    )
+            row += nrow
+        scale = scale_from_amax(jnp.asarray(amax_b))
+        scale_np = np.asarray(scale)
+        tail_scale = scale_from_amax(jnp.asarray(amax_t))
+        tail_scale_np = np.asarray(tail_scale)
 
     # pass 2: stream blocks, route rows to shards in fixed-size chunks
     import ml_dtypes
@@ -357,7 +451,20 @@ def build_ivf_from_store(
                 n = len(idx)
                 rows_np = np.asarray(emb[idx], np.float32)
                 if is_int8:
-                    rows_np = np.asarray(encode_int8(rows_np, scale_np))
+                    if residual:
+                        g = row + idx
+                        ib = in_bucket[g][:, None]
+                        rows_np = rows_np - np.where(
+                            ib, means_np[assign[g]], mu_np
+                        )
+                        row_scale = np.where(
+                            ib, scale_np[assign[g]], tail_scale_np
+                        )
+                        rows_np = np.clip(
+                            np.rint(rows_np / row_scale), -127, 127
+                        )
+                    else:
+                        rows_np = np.asarray(encode_int8(rows_np, scale_np))
                 rows_np = rows_np.astype(host_dt)
                 slots_np = blk_slot[idx]
                 if n < chunk_rows:  # pad: slot == flat_rows drops (OOB)
@@ -415,6 +522,13 @@ def build_ivf_from_store(
         tail_ids=tail_ids,
         nprobe=int(nprobe),
         scale=None if scale is None else jax.device_put(scale, rep),
+        means=None if means_np is None else jax.device_put(
+            jnp.asarray(means_np), rep
+        ),
+        mu=None if mu_np is None else jax.device_put(jnp.asarray(mu_np), rep),
+        tail_scale=None if tail_scale is None else jax.device_put(
+            tail_scale, rep
+        ),
     )
 
 
@@ -434,5 +548,6 @@ def sharded_ivf_search(
         mesh, index.centroids, index.buckets, index.bucket_ids,
         index.tail, index.tail_ids, jnp.asarray(queries), k, nprobe,
         scale=index.scale, means=index.means, mu=index.mu,
+        tail_scale=index.tail_scale,
     )
     return np.asarray(s), np.asarray(i)

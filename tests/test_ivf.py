@@ -378,6 +378,12 @@ def test_sharded_build_int8_and_guards(rng, tmp_path):
         mesh, store, nlist=16, nprobe=16, dtype="int8", chunk_rows=512
     )
     assert i8.buckets.dtype == jnp.int8 and i8.scale is not None
+    assert i8.means is not None and i8.mu is not None  # residual default
+    i8g = build_ivf_from_store(
+        mesh, store, nlist=16, nprobe=16, dtype="int8", chunk_rows=512,
+        by_residual=False,
+    )
+    assert i8g.scale is not None and i8g.means is None  # global scheme
     sf = build_ivf_from_store(
         mesh, store, nlist=16, nprobe=16, dtype="bfloat16", chunk_rows=512
     )
@@ -387,6 +393,42 @@ def test_sharded_build_int8_and_guards(rng, tmp_path):
     overlap = np.mean([len(set(i_f[r]) & set(i_q[r])) / k for r in range(6)])
     assert overlap >= 0.8, overlap
     np.testing.assert_allclose(s_q, s_f, rtol=0.05, atol=0.05)
+
+
+def test_sharded_build_int8_residual_beats_global(rng, tmp_path):
+    """On the low-rank + common-mode manifold (the real-encoder shape),
+    the store-build's residual int8 (default) preserves the float
+    ranking where the global scheme loses it — pod-scale analog of
+    test_int8_residual_ivf."""
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import (
+        build_ivf_from_store,
+        sharded_ivf_search,
+    )
+
+    n, d, k = 4000, 64, 10
+    centers = rng.normal(size=(32, d)).astype(np.float32) * 0.5
+    x = centers[rng.randint(0, 32, size=n)] + rng.normal(
+        size=(n, d)
+    ).astype(np.float32) * 0.02
+    x = x + rng.normal(size=(d,)).astype(np.float32) * 4.0
+    q = x[:24] + rng.normal(size=(24, d)).astype(np.float32) * 0.01
+    store = _write_store(tmp_path, rng, x, name="ivf_resid")
+    mesh = make_mesh()
+
+    kw = dict(nlist=32, nprobe=32, chunk_rows=512, seed=2)
+    f32 = build_ivf_from_store(mesh, store, dtype="float32", **kw)
+    res = build_ivf_from_store(mesh, store, dtype="int8", **kw)
+    glo = build_ivf_from_store(
+        mesh, store, dtype="int8", by_residual=False, **kw
+    )
+    _, i_f = sharded_ivf_search(mesh, f32, q, k=k)
+    _, i_r = sharded_ivf_search(mesh, res, q, k=k)
+    _, i_g = sharded_ivf_search(mesh, glo, q, k=k)
+    rec_r = np.mean([len(set(i_f[r]) & set(i_r[r])) / k for r in range(len(q))])
+    rec_g = np.mean([len(set(i_f[r]) & set(i_g[r])) / k for r in range(len(q))])
+    assert rec_r >= 0.95, (rec_r, rec_g)
+    assert rec_r > rec_g + 0.2, (rec_r, rec_g)
 
 
 def test_ivf_sweep_harness(rng, tmp_path):
