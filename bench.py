@@ -409,7 +409,8 @@ def bench_ivf(jax, jnp):
 
     arrays = (
         index.centroids, index.buckets, index.bucket_ids,
-        index.tail, index.tail_ids, index.scale,
+        index.tail, index.tail_ids, index.scale, index.means, index.mu,
+        index.tail_scale,
     )
     one_q = jnp.asarray(np.asarray(q[:1], np.float32))[0]
     ss, ii = _ivf_search_one(arrays, one_q, TOP_K, 64)  # compile
