@@ -146,3 +146,39 @@ def test_retriever_two_stage(rng, tmp_path):
     )
     np.testing.assert_array_equal(i, exact_i)
     np.testing.assert_allclose(s, exact_s, rtol=1e-5, atol=1e-5)
+
+
+def test_retriever_two_stage_ivf(rng, tmp_path):
+    """The rescore stage composes with the IVF first stage too:
+    Retriever(ivf=True, store_dtype='int8', rescore_oversample) returns
+    the exact f32 scores for whatever candidates the probed clusters
+    yield (the exact-vs-IVF id difference is the nprobe recall knob, so
+    assert score exactness per returned id, not id equality)."""
+    from haconvdr_tpu.config import SearchConfig
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import build_ivf_from_store
+    from haconvdr_tpu.serve import Retriever
+
+    n, d, k = 2048, 32, 5
+    emb = _hard_manifold(rng, n, d, common=2.0)
+    store = _write_store(tmp_path, emb)
+
+    r = Retriever.__new__(Retriever)
+    r.search_cfg = SearchConfig(top_k=k, rescore_oversample=10.0)
+    r.offset2pid = None
+    r._rescore_store = store
+    r._rescorer = None
+    r.index = None
+    r.mesh = make_mesh()
+    r.ivf_index = build_ivf_from_store(
+        r.mesh, store, nlist=16, nprobe=16, dtype="int8", chunk_rows=512
+    )
+    q = _queries_from(rng, emb, 4)
+    s, i = r.search(q, k)
+    assert i.shape == (4, k) and (i >= 0).all()
+    for row in range(4):
+        np.testing.assert_allclose(
+            s[row], q[row] @ emb[i[row]].T, rtol=1e-5, atol=1e-5
+        )
+        # exact scores imply exact ORDER within the candidate set
+        assert (np.diff(s[row]) <= 1e-6).all()
