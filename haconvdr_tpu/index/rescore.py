@@ -68,6 +68,14 @@ class StoreRescorer:
             all_loc.append(
                 np.stack([np.full(len(ids), b, np.int64), np.arange(len(ids))], 1)
             )
+        if self._ranges is not None and any(
+            self._ranges[i][0] < self._ranges[i - 1][1]
+            for i in range(1, len(self._ranges))
+        ):
+            # contiguous per block but not globally ascending (blocks
+            # written out of id order): the range searchsorted would
+            # mis-route — fall back to the sorted global index
+            self._ranges = None
         if self._ranges is None:
             cat = np.concatenate(all_ids)
             order = np.argsort(cat, kind="stable")

@@ -90,6 +90,22 @@ def test_rescore_non_contiguous_ids(rng, tmp_path):
         r.gather(np.array([10_001], np.int64))
 
 
+def test_rescore_out_of_order_blocks(rng, tmp_path):
+    """Blocks whose id ranges are contiguous per block but written out of
+    global order must not take the range fast path (searchsorted over
+    unsorted stops would mis-route) — gather stays correct."""
+    n, d = 300, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    store = EmbeddingBlockStore(str(tmp_path / "store"))
+    ids = np.arange(n, dtype=np.int64)
+    store.write_block(0, emb[200:], ids[200:])  # highest range first
+    store.write_block(1, emb[:100], ids[:100])
+    store.write_block(2, emb[100:200], ids[100:200])
+    r = StoreRescorer(store)
+    pick = rng.choice(n, 50, replace=False)
+    np.testing.assert_allclose(r.gather(ids[pick]), emb[pick], rtol=1e-6)
+
+
 def test_rescore_pads_and_short_rows(rng, tmp_path):
     """-1 candidates are ignored; rows with fewer than k valid candidates
     pad with -1/-inf (the first-stage contract)."""
