@@ -70,9 +70,16 @@ def sweep(
     dtype: str = "bfloat16",
     seed: int = 0,
     latency_reps: int = 3,
+    rescore_oversample: float = 0.0,
 ) -> List[dict]:
     """One row per (nlist, slack, nprobe): recall@k vs the exact scan,
-    batch latency, and the bucket-memory overhead factor."""
+    batch latency, and the bucket-memory overhead factor.
+
+    ``rescore_oversample > 1`` adds a ``recall_two_stage`` column: the
+    first stage retrieves ``oversample * k`` candidates and the exact
+    scores (from the in-memory float matrix — the serve path reads the
+    disk store instead, index/rescore.py) rerank to k.  Answers "what
+    oversample restores exact quality" per configuration in one run."""
     import jax
     import jax.numpy as jnp
 
@@ -121,6 +128,20 @@ def sweep(
                     len(set(i[r].tolist()) & gt_sets[r]) / max(1, len(gt_sets[r]))
                     for r in range(len(queries))
                 ]))
+                recall2 = None
+                if rescore_oversample > 1.0:
+                    m = int(np.ceil(k * rescore_oversample))
+                    _, ci = ivf_search(index, queries, k=m, nprobe=nprobe)
+                    r2 = []
+                    for r in range(len(queries)):
+                        cand = ci[r][ci[r] >= 0]
+                        ex = queries[r] @ embeddings[cand].T
+                        top = cand[np.argsort(-ex, kind="stable")[:k]]
+                        r2.append(
+                            len(set(top.tolist()) & gt_sets[r])
+                            / max(1, len(gt_sets[r]))
+                        )
+                    recall2 = round(float(np.mean(r2)), 4)
                 t0 = time.time()
                 for _ in range(latency_reps):
                     s, i = ivf_search(index, queries, k=k, nprobe=nprobe)
@@ -129,6 +150,11 @@ def sweep(
                     "nlist": nlist, "nprobe": nprobe, "slack": slack,
                     "k": k, "dtype": dtype,
                     "recall_at_k": round(recall, 4),
+                    **(
+                        {"recall_two_stage": recall2,
+                         "rescore_oversample": rescore_oversample}
+                        if recall2 is not None else {}
+                    ),
                     "latency_ms_per_query": round(lat * 1000.0, 4),
                     "build_s": round(build_s, 2),
                     "memory_overhead": round((bucket_rows + tail_rows) / N, 3),
@@ -163,6 +189,7 @@ def main(argv=None):
         k=int(args.get("k", "100")),
         dtype=args.get("dtype", "bfloat16"),
         seed=int(args.get("seed", "0")),
+        rescore_oversample=float(args.get("rescore_oversample", "0")),
     )
     out = args.get("out", "ivf_sweep.jsonl")
     with open(out, "w") as f:

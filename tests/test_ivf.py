@@ -547,10 +547,13 @@ def test_ivf_sweep_int8(rng, tmp_path):
     x = _mixture(rng, n, d, n_modes=16)
     q = _mixture(rng, 32, d, n_modes=16)
     rows = sweep(x, q, nlists=[16], nprobes=[16], slacks=[1.3], k=10,
-                 dtype="int8")
+                 dtype="int8", rescore_oversample=3.0)
     ok = [r for r in rows if "recall_at_k" in r]
     assert ok and ok[0]["dtype"] == "int8"
     assert ok[0]["recall_at_k"] >= 0.9  # full probe, int8 rounding only
+    # the two-stage column reranks the oversampled candidates exactly:
+    # never worse than the raw int8 recall
+    assert ok[0]["recall_two_stage"] >= ok[0]["recall_at_k"]
 
 
 def test_ivf_sweep_overflow_row(rng, tmp_path):
