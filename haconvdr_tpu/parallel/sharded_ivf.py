@@ -551,3 +551,208 @@ def sharded_ivf_search(
         tail_scale=index.tail_scale,
     )
     return np.asarray(s), np.asarray(i)
+
+
+# -- sharded persistence -----------------------------------------------------
+#
+# The pod-scale build above is a 3-4 pass stream over the whole corpus
+# (minutes at QReCC-54M); serving restarts must not repay it.  The
+# single-device save_ivf/load_ivf (index/ivf.py) round-trips through one
+# host buffer, which the 54M bucket slab cannot do — so the sharded index
+# persists PER SHARD: each device's cluster slice and tail slice is pulled
+# and written one at a time (host peak = one shard's slab), and loading
+# re-assembles device-resident pieces with
+# jax.make_array_from_single_device_arrays, never materializing the global
+# arrays on host.  The shard count may CHANGE between save and load (pod
+# reconfiguration): cluster slices re-split as long as nlist divides the
+# new shard count; the spill tail re-splits on rows unconditionally (any
+# row partition of the always-scanned tail is search-equivalent).  This is
+# the serving analog of the reference's embedding-block artifact directory
+# (gen_doc_embeddings.py blocks), applied to the pruned index.
+
+
+def _save_bf16_safe(path, arr):
+    np.save(path, np.asarray(arr))
+
+
+def _mmap_load(path):
+    arr = np.load(path, mmap_mode="r")
+    if arr.dtype == np.dtype("V2"):  # np.save stores bf16 as raw void
+        import ml_dtypes
+
+        arr = arr.view(ml_dtypes.bfloat16)
+    return arr
+
+
+def save_ivf_sharded(index: IVFIndex, dir_path: str) -> None:
+    """Persist a mesh-sharded IVFIndex as per-shard .npy slabs + one set
+    of replicated sidecars.  Pulls ONE shard's slice to host at a time."""
+    import json
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    def _shards(arr):
+        # cluster/row-axis shards in global order; replicated arrays (or
+        # single-device ones) yield their single copy
+        out = {}
+        for sh in arr.addressable_shards:
+            sl = sh.index[0]
+            start = 0 if sl.start is None else sl.start
+            if start not in out:
+                out[start] = sh.data
+        return [out[s] for s in sorted(out)]
+
+    b_shards = _shards(index.buckets)
+    n_shards = len(b_shards)
+    for s, piece in enumerate(b_shards):
+        _save_bf16_safe(
+            os.path.join(dir_path, f"buckets_{s:03d}.npy"), piece
+        )
+    for name in ("bucket_ids", "tail", "tail_ids"):
+        pieces = _shards(getattr(index, name))
+        if len(pieces) != n_shards:
+            raise ValueError(
+                f"{name} has {len(pieces)} shards, buckets {n_shards} — "
+                "not a shard_ivf/build_ivf_from_store layout"
+            )
+        for s, piece in enumerate(pieces):
+            _save_bf16_safe(
+                os.path.join(dir_path, f"{name}_{s:03d}.npy"), piece
+            )
+    _save_bf16_safe(os.path.join(dir_path, "centroids.npy"), index.centroids)
+    for name in ("scale", "means", "mu", "tail_scale"):
+        val = getattr(index, name)
+        path = os.path.join(dir_path, name + ".npy")
+        if val is not None:
+            _save_bf16_safe(path, val)
+        elif os.path.exists(path):
+            os.remove(path)  # never leave stale quantization sidecars
+    with open(os.path.join(dir_path, "ivf_sharded_meta.json"), "w") as f:
+        json.dump(
+            {
+                "version": 1,
+                "n_shards": n_shards,
+                "nprobe": int(index.nprobe),
+                "nlist": int(index.buckets.shape[0]),
+                "capacity": int(index.buckets.shape[1]),
+                "dim": int(index.buckets.shape[2]),
+                "tail_rows": int(index.tail.shape[0]),
+            },
+            f,
+        )
+
+
+def load_ivf_sharded(mesh: Mesh, dir_path: str) -> IVFIndex:
+    """Inverse of :func:`save_ivf_sharded` onto ``mesh`` — which may have
+    a DIFFERENT device count than the saving mesh (nlist must divide it).
+    Host peak is one target shard's slab (per-shard mmap reads)."""
+    import json
+    import os
+
+    with open(os.path.join(dir_path, "ivf_sharded_meta.json")) as f:
+        meta = json.load(f)
+    fmesh = _flat_mesh(mesh)
+    devices = list(fmesh.devices.reshape(-1))
+    n_new = len(devices)
+    nlist, cap, D = meta["nlist"], meta["capacity"], meta["dim"]
+    n_saved = meta["n_shards"]
+    if nlist % n_new:
+        raise ValueError(
+            f"saved nlist ({nlist}) must divide the target shard count "
+            f"({n_new})"
+        )
+    per_saved = nlist // n_saved
+    per_new = nlist // n_new
+
+    def _cluster_piece(name, i):
+        """Global cluster rows [i*per_new, (i+1)*per_new) assembled from
+        the saved shard files they live in."""
+        lo, hi = i * per_new, (i + 1) * per_new
+        parts = []
+        g = lo
+        while g < hi:
+            f = g // per_saved
+            f_lo = g - f * per_saved
+            f_hi = min(per_saved, hi - f * per_saved)
+            arr = _mmap_load(os.path.join(dir_path, f"{name}_{f:03d}.npy"))
+            parts.append(np.array(arr[f_lo:f_hi]))
+            g = f * per_saved + f_hi
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    # tail: re-split the global row set across the new shards (row
+    # partition is search-equivalent; pad with -1-id zero rows to divide)
+    t_sizes = [
+        _mmap_load(os.path.join(dir_path, f"tail_ids_{s:03d}.npy")).shape[0]
+        for s in range(n_saved)
+    ]
+    R = sum(t_sizes)
+    Rp = max(1, -(-R // n_new))  # rows per new shard, padded
+    t_starts = np.concatenate([[0], np.cumsum(t_sizes)])
+
+    def _tail_piece(name, i, pad_value, pad_shape, pad_dtype):
+        lo, hi = i * Rp, min((i + 1) * Rp, R)
+        parts = []
+        g = lo
+        while g < hi:
+            f = int(np.searchsorted(t_starts, g, side="right")) - 1
+            f_lo = g - t_starts[f]
+            f_hi = min(t_sizes[f], hi - t_starts[f])
+            arr = _mmap_load(os.path.join(dir_path, f"{name}_{f:03d}.npy"))
+            parts.append(np.array(arr[f_lo:f_hi]))
+            g = t_starts[f] + f_hi
+        need = Rp - max(0, hi - lo)
+        if need:
+            parts.append(np.full((need,) + pad_shape, pad_value, pad_dtype))
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    b_pieces, bi_pieces, t_pieces, ti_pieces = [], [], [], []
+    tail_dtype = _mmap_load(os.path.join(dir_path, "tail_000.npy")).dtype
+    for i in range(n_new):
+        dev = devices[i]
+        b_pieces.append(jax.device_put(_cluster_piece("buckets", i), dev))
+        bi_pieces.append(
+            jax.device_put(_cluster_piece("bucket_ids", i), dev)
+        )
+        t = _tail_piece("tail", i, 0, (D,), tail_dtype)
+        t_pieces.append(jax.device_put(t, dev))
+        ti = _tail_piece("tail_ids", i, -1, (), np.int32)
+        ti_pieces.append(jax.device_put(ti.astype(np.int32), dev))
+
+    buckets = jax.make_array_from_single_device_arrays(
+        (nlist, cap, D), NamedSharding(fmesh, P("d", None, None)), b_pieces
+    )
+    bucket_ids = jax.make_array_from_single_device_arrays(
+        (nlist, cap), NamedSharding(fmesh, P("d", None)), bi_pieces
+    )
+    tail = jax.make_array_from_single_device_arrays(
+        (n_new * Rp, D), NamedSharding(fmesh, P("d", None)), t_pieces
+    )
+    tail_ids = jax.make_array_from_single_device_arrays(
+        (n_new * Rp,), NamedSharding(fmesh, P("d")), ti_pieces
+    )
+    rep = NamedSharding(fmesh, P())
+
+    def _opt(name):
+        path = os.path.join(dir_path, name + ".npy")
+        if not os.path.exists(path):
+            return None
+        arr = np.load(path)
+        if arr.dtype == np.dtype("V2"):
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
+        return jax.device_put(jnp.asarray(arr), rep)
+
+    return IVFIndex(
+        centroids=_opt("centroids"),
+        buckets=buckets,
+        bucket_ids=bucket_ids,
+        tail=tail,
+        tail_ids=tail_ids,
+        nprobe=int(meta["nprobe"]),
+        scale=_opt("scale"),
+        means=_opt("means"),
+        mu=_opt("mu"),
+        tail_scale=_opt("tail_scale"),
+    )

@@ -43,8 +43,12 @@ class Retriever:
     ~4.6x lower single-query latency at an nprobe-controlled recall
     (beyond the reference, which only has the exact scan).
     ``store_dtype`` applies to the IVF buckets too ("int8" builds
-    quantized buckets).  Build a second Retriever without ``ivf`` when
-    exact batch evaluation is also needed.
+    quantized buckets).  ``ivf_dir`` persists the built index as
+    per-shard artifacts (parallel/sharded_ivf.save_ivf_sharded) and
+    reloads them on the next construction — restart without repaying the
+    multi-pass corpus build, even onto a different pod shape.  Build a
+    second Retriever without ``ivf`` when exact batch evaluation is also
+    needed.
     """
 
     def __init__(
@@ -61,6 +65,7 @@ class Retriever:
         ivf: bool = False,
         ivf_nlist: int = 1024,
         ivf_nprobe: int = 32,
+        ivf_dir: Optional[str] = None,
     ):
         self.tokenizer = tokenizer
         self.model_cfg = model_cfg
@@ -79,7 +84,29 @@ class Retriever:
 
         self.ivf_index = None
         if ivf:  # cluster-pruned serving: replaces the flat index
-            from haconvdr_tpu.parallel.sharded_ivf import build_ivf_from_store
+            import os
+
+            from haconvdr_tpu.parallel.sharded_ivf import (
+                build_ivf_from_store,
+                load_ivf_sharded,
+                save_ivf_sharded,
+            )
+
+            if ivf_dir and os.path.exists(
+                os.path.join(ivf_dir, "ivf_sharded_meta.json")
+            ):
+                # restart path: reload the persisted per-shard slabs
+                # instead of repaying the multi-pass corpus build —
+                # works across a CHANGED pod shape (nlist must divide
+                # the new shard count; sharded_ivf.load_ivf_sharded)
+                idx = load_ivf_sharded(self.mesh, ivf_dir)
+                nlist = idx.centroids.shape[0]
+                self.ivf_index = idx._replace(
+                    nprobe=int(min(ivf_nprobe, nlist))
+                )
+                self.index = None
+                self.store = None
+                return
 
             # mesh-sharded build straight from the store: rows stream from
             # disk to their owning shard's device — no single-host corpus
@@ -103,6 +130,8 @@ class Retriever:
                 nprobe=nprobe,
                 dtype=store_dtype,
             )
+            if ivf_dir:  # persist so the next load skips the build
+                save_ivf_sharded(self.ivf_index, ivf_dir)
             self.index = None
             self.store = None
             return

@@ -474,3 +474,46 @@ def test_retriever_superblock_int8(pipeline):
     valid = set(corpus.offset2pid())
     assert all(pid in valid for pid, _ in hits)
     assert all(np.isfinite(s) for _, s in hits)
+
+
+def test_retriever_ivf_dir_persistence(pipeline):
+    """Retriever(ivf=True, ivf_dir=...): first construction builds AND
+    persists the sharded index; the second loads it (no rebuild — the
+    store is not touched) and serves identical results."""
+    tmp, tok, mcfg, params, corpus, mesh = pipeline
+    from haconvdr_tpu.config import DataConfig, SearchConfig
+    from haconvdr_tpu.index.store import EmbeddingBlockStore
+    from haconvdr_tpu.serve import Retriever
+
+    store = EmbeddingBlockStore(str(tmp / "embeds"))
+    dcfg = DataConfig(
+        is_train=False, use_PRL=False,
+        max_query_length=16, max_doc_length=16, max_concat_length=24,
+    )
+    scfg = SearchConfig(top_k=5, per_device_test_batch_size=1)
+    ivf_dir = str(tmp / "ivf_artifacts")
+    kw = dict(
+        offset2pid=corpus.offset2pid(), data_cfg=dcfg, search_cfg=scfg,
+        ivf=True, ivf_nlist=4, ivf_nprobe=4, ivf_dir=ivf_dir,
+    )
+    r1 = Retriever(tok, params, mcfg, store, **kw)
+    import os
+
+    assert os.path.exists(os.path.join(ivf_dir, "ivf_sharded_meta.json"))
+    hits1 = r1.retrieve(_passage_text(21))
+
+    class _Explodes:  # the reload path must never re-read the store
+        def num_blocks(self):
+            raise AssertionError("reload path rebuilt the IVF index")
+
+        def block_size(self, b):
+            raise AssertionError("reload path rebuilt the IVF index")
+
+        def iter_blocks(self, *a, **k):
+            raise AssertionError("reload path rebuilt the IVF index")
+
+    r2 = Retriever(tok, params, mcfg, _Explodes(), **kw)
+    assert r2.ivf_index is not None
+    hits2 = r2.retrieve(_passage_text(21))
+    assert hits1 == hits2
+    assert hits2[0][0] == 21

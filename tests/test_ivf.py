@@ -601,3 +601,114 @@ def test_ivf_geometry_check_cli(tmp_path):
 
     disk = [_json.loads(l) for l in open(out)]
     assert len(disk) == len(rows)
+
+
+def test_sharded_ivf_save_load_roundtrip(rng, tmp_path):
+    """save_ivf_sharded -> load_ivf_sharded must reproduce the sharded
+    search bitwise on the same mesh, survive a CHANGED shard count (8 -> 4
+    and 8 -> 2: cluster slices re-split, tail rows re-partition), and
+    round-trip the residual-int8 sidecars."""
+    import jax
+
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import (
+        build_ivf_from_store,
+        load_ivf_sharded,
+        save_ivf_sharded,
+        sharded_ivf_search,
+    )
+
+    n, d, k = 3000, 32, 10
+    x = _mixture(rng, n, d, n_modes=24)
+    q = _mixture(rng, 6, d, n_modes=24)
+    store = _write_store(tmp_path, rng, x, name="persist_store")
+    mesh = make_mesh()
+
+    for dtype in ("float32", "int8"):
+        built = build_ivf_from_store(
+            mesh, store, nlist=32, nprobe=6, slack=1.3, seed=5,
+            dtype=dtype, chunk_rows=512,
+        )
+        s0, i0 = sharded_ivf_search(mesh, built, q, k=k)
+        out = str(tmp_path / f"ivf_{dtype}")
+        save_ivf_sharded(built, out)
+
+        loaded = load_ivf_sharded(mesh, out)
+        assert loaded.nprobe == built.nprobe
+        if dtype == "int8":  # residual sidecars survive the round trip
+            for name in ("scale", "means", "mu", "tail_scale"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(loaded, name)),
+                    np.asarray(getattr(built, name)),
+                )
+        s1, i1 = sharded_ivf_search(mesh, loaded, q, k=k)
+        np.testing.assert_array_equal(s0, s1)
+        np.testing.assert_array_equal(i0, i1)
+
+        for n_dev in (4, 2):  # pod reshape: fewer devices than saved
+            small = jax.sharding.Mesh(
+                np.array(jax.devices()[:n_dev]), ("dp",)
+            )
+            re = load_ivf_sharded(small, out)
+            s2, i2 = sharded_ivf_search(small, re, q, k=k)
+            np.testing.assert_allclose(s0, s2, rtol=1e-6)
+            for r in range(len(q)):
+                assert set(i0[r].tolist()) == set(i2[r].tolist())
+
+
+def test_sharded_ivf_load_shard_count_guard(rng, tmp_path):
+    """nlist that does not divide the target shard count raises with the
+    remedy in the message (never silently mis-shards clusters)."""
+    import jax
+    import pytest as _pytest
+
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import (
+        build_ivf_from_store,
+        load_ivf_sharded,
+        save_ivf_sharded,
+    )
+
+    x = _mixture(rng, 2000, 16, n_modes=8)
+    store = _write_store(tmp_path, rng, x, name="guard_store")
+    mesh = make_mesh()
+    built = build_ivf_from_store(
+        mesh, store, nlist=8, nprobe=4, slack=1.5, dtype="float32",
+        chunk_rows=512,
+    )
+    out = str(tmp_path / "ivf_guard")
+    save_ivf_sharded(built, out)
+    three = jax.sharding.Mesh(np.array(jax.devices()[:3]), ("dp",))
+    with _pytest.raises(ValueError, match="divide"):
+        load_ivf_sharded(three, out)
+
+
+def test_build_ivf_cli(rng, tmp_path, capsys):
+    """cli.build_ivf: store dir in -> persisted sharded artifacts out,
+    loadable and searchable; the JSON stats line is parseable."""
+    import json
+
+    from haconvdr_tpu.cli.build_ivf import main as build_main
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.parallel.sharded_ivf import (
+        load_ivf_sharded,
+        sharded_ivf_search,
+    )
+
+    x = _mixture(rng, 2500, 16, n_modes=8)
+    q = _mixture(rng, 4, 16, n_modes=8)
+    _write_store(tmp_path, rng, x, name="cli_store")
+    out = str(tmp_path / "cli_ivf")
+    build_main([
+        f"embeddings={tmp_path / 'cli_store'}", f"out={out}",
+        "nlist=8", "nprobe=8", "dtype=float32", "chunk_rows=512",
+        "train_rows=2500",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["nlist"] == 8 and stats["dtype"] == "float32"
+
+    mesh = make_mesh()
+    idx = load_ivf_sharded(mesh, out)
+    s, i = sharded_ivf_search(mesh, idx, q, k=5)
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(x), 5)
+    np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5)
