@@ -1944,3 +1944,467 @@ def test_chained_pipeline_matches_reference(
     met_ours, _ = trec_metrics(read_run(str(run_files["ours"])), qrels, qrels_ndcg)
     assert met_ref == met_ours
     assert met_ref["MRR"] > 0  # the chain retrieves something real
+
+
+@pytest.fixture()
+def ref_qrecc_train_module(ref_modules):
+    """train_HAConvDR_qrecc.py under the same import shims as
+    ref_train_module (its cal_ranking_loss is the QReCC training
+    contract, /root/reference/src/train_HAConvDR_qrecc.py:46-59)."""
+    import types
+
+    names = ("toml", "tensorboardX", "models", "utils", "data", "_ref_train_q")
+    saved = {k: sys.modules.get(k) for k in names}
+    had_adamw = True
+    try:
+        sys.modules["toml"] = types.ModuleType("toml")
+        tbx = types.ModuleType("tensorboardX")
+        tbx.SummaryWriter = object
+        sys.modules["tensorboardX"] = tbx
+        sys.modules["models"] = ref_modules[0]
+        sys.modules["data"] = ref_modules[1]
+        tf_now = sys.modules["transformers"]
+        had_adamw = hasattr(tf_now, "AdamW")
+        if not had_adamw:
+            tf_now.AdamW = torch.optim.AdamW
+        _load_ref_module("utils", os.path.join(REF, "utils.py"))
+        train = _load_ref_module(
+            "_ref_train_q", os.path.join(REF, "train_HAConvDR_qrecc.py")
+        )
+        yield train
+    finally:
+        for k in names:
+            if saved[k] is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = saved[k]
+        tf_now = sys.modules.get("transformers")
+        if not had_adamw and tf_now is not None and hasattr(tf_now, "AdamW"):
+            del tf_now.AdamW
+
+
+def test_chained_qrecc_pipeline_matches_reference(
+    ref_modules, ref_qrecc_train_module, tmp_path, monkeypatch
+):
+    """The QReCC analog of test_chained_pipeline_matches_reference — one
+    differential across every QReCC seam in the reference README's order:
+
+      reference L0 (gen_qrecc_train_test_files with the CONQRR first-turn
+      Truth_rewrite substitution + gen_qrecc_qrel + the random-negs
+      pos_docs_text extract) -> reference PRJ_qrecc probe generation on
+      records DERIVED FROM the L0 output -> rebuild dense retrieval as the
+      MRR oracle -> reference test_PRJ_qrecc improve_judge (the qrel-id
+      filtered variant) vs rebuild improve_judge on identical MRRs ->
+      rel-label merge (REFERENCE and rebuild outputs asserted equal on
+      aligned inputs) -> BM25 negatives (rebuild CPU BM25; reference
+      merge + doc-content extract consume its run file) -> reformulate ->
+      3 reference torch train steps (Retrieval_qrecc + cal_ranking_loss,
+      convqa mode) vs the rebuild's ranking-variant step from the SAME
+      init -> embed -> search -> TREC -> metrics with the stage-A qrel.
+
+    Reference functions run wherever executable; the qrecc file's
+    missing-name defects (logger, pickle, modify_pos_docs/modify_neg_docs
+    from preprocess_topicoqa.py, the qrecc_collection_path global in the
+    bm25 extract) are injected into its exec namespace rather than
+    worked around.  Everything is float64 so torch-vs-JAX ranks are
+    deterministic."""
+    import dataclasses
+    import itertools
+    import pickle as _pickle
+
+    ref_models, ref_data = ref_modules
+    mq = ref_qrecc_train_module
+    ref_prj = _load_ref_or_skip(
+        "_ref_prjq_chain", "/root/reference/preprocess/PRJ_qrecc.py"
+    )
+
+    # -- shared tiny checkpoint (torch + JAX load the same weights) ------
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "<mask>": 4}
+    for s_ in bytes_to_unicode().values():
+        if s_ not in vocab:
+            vocab[s_] = len(vocab)
+    with open(ckpt_dir / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(ckpt_dir / "merges.txt", "w") as f:
+        f.write("#version: 0.2\nt h\nth e\n")
+    mcfg = ModelConfig.tiny(
+        vocab_size=len(vocab) + 8, max_position_embeddings=80,
+        embedding_dim=768, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    params0 = init_encoder_params(jax.random.PRNGKey(11), mcfg)
+    save_hf_checkpoint(params0, mcfg, str(ckpt_dir))
+    tok = transformers.RobertaTokenizer.from_pretrained(str(ckpt_dir))
+    mcfg64 = dataclasses.replace(mcfg, dtype="float64")
+    params64 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float64), params0
+    )
+
+    # -- stage A: reference L0 on fabricated scai-qrecc21 dumps ----------
+    docs = {p: f"passage text about thing{p}" for p in range(10)}
+    rawpids = [f"http://raw/{p}" for p in range(10)]
+    with open(tmp_path / "pid2rawpid.pkl", "wb") as f:
+        _pickle.dump(rawpids, f)
+    coll = tmp_path / "qrecc_collection.tsv"
+    with open(coll, "w") as f:
+        for p, text in docs.items():
+            f.write(f"{p}\t{text}\n")
+
+    def turn(conv, t, pid, q, rewrite, prior):
+        # Context = [q1, a1, q2, a2, ...] for the prior turns
+        ctx = []
+        for pq, pa in prior:
+            ctx.extend([pq, pa])
+        return {
+            "Conversation_no": conv, "Turn_no": t,
+            "Conversation_source": "quac",
+            "Question": q, "Truth_rewrite": rewrite,
+            "Truth_answer": f"answer {conv}-{t}",
+            "Truth_passages": [rawpids[pid]], "Context": ctx,
+        }
+
+    # conv 1 has three turns so improve_judge's flush-on-turn-change sees
+    # a mid-conversation boundary; conv 2 ends on a different turn id
+    def conv_turns(conv, pids, qs):
+        out, prior = [], []
+        for t, (pid, q) in enumerate(zip(pids, qs), start=1):
+            out.append(turn(conv, t, pid, q, f"rewritten {q}", list(prior)))
+            prior.append((q, f"answer {conv}-{t}"))
+        return out
+
+    train_in = conv_turns(1, [1, 2, 7], ["passage thing1", "passage thing2", "passage thing7"]) \
+        + conv_turns(2, [3, 4], ["passage thing3", "passage thing4"])
+    test_in = conv_turns(5, [5, 6], ["passage thing5", "passage thing6"])
+    (tmp_path / "train_in.json").write_text(json.dumps(train_in))
+    (tmp_path / "test_in.json").write_text(json.dumps(test_in))
+
+    ns = _load_qrecc_pre_ns(extra={
+        "modify_pos_docs": lambda rec, texts: texts,
+        "modify_neg_docs": lambda rec, texts: texts,
+        "qrecc_collection_path": str(coll),
+    })
+    counter = itertools.count()
+    monkeypatch.setattr(
+        ns["random"], "randint", lambda a, b: next(counter) % 10
+    )
+    monkeypatch.setattr(ns["random"], "sample", lambda seq, k: list(seq)[:k])
+    train_l0 = tmp_path / "train.json"
+    test_l0 = tmp_path / "test.json"
+    ns["gen_qrecc_train_test_files"](
+        str(tmp_path / "train_in.json"), str(tmp_path / "test_in.json"),
+        str(train_l0), str(test_l0), str(tmp_path / "pid2rawpid.pkl"),
+    )
+    qrel_file = tmp_path / "qrecc_qrel.tsv"
+    ns["gen_qrecc_qrel"](
+        str(tmp_path / "test_in.json"), str(qrel_file),
+        str(tmp_path / "pid2rawpid.pkl"),
+    )
+    # pos_docs_text (+ random-neg text) via the reference extract
+    train_doc = tmp_path / "train_doc.json"
+    ns["extract_doc_content_of_random_negs_for_train_file"](
+        str(coll), str(train_l0), str(train_doc)
+    )
+
+    # -- stage B: PRJ probes from records DERIVED from the L0 output -----
+    from haconvdr_tpu.data.prj import build_prj_probe_examples
+    from haconvdr_tpu.data.sequence import encode_trunc, pad_seq_to_length
+    from haconvdr_tpu.eval.metrics import trec_metrics
+    from haconvdr_tpu.mine.prj import create_label_rel_turn, improve_judge
+    from haconvdr_tpu.ops.topk import BlockSearcher
+
+    pids = sorted(docs)
+    p_ids, p_masks = [], []
+    for pid in pids:
+        ids_, mask_ = pad_seq_to_length(encode_trunc(tok, docs[pid], 24), 24)
+        p_ids.append(ids_)
+        p_masks.append(mask_)
+    corpus_emb = np.asarray(encode(
+        params64, mcfg64, jnp.asarray(np.asarray(p_ids)),
+        jnp.asarray(np.asarray(p_masks)),
+    ))
+
+    import ast as ast_mod
+
+    prj_eval_path = os.path.join(REF, "test_PRJ_qrecc.py")
+    prj_tree = ast_mod.parse(open(prj_eval_path).read())
+    fn = next(n for n in prj_tree.body
+              if isinstance(n, ast_mod.FunctionDef) and n.name == "improve_judge")
+    ns2 = {"json": json}
+    exec(compile(ast_mod.Module(body=[fn], type_ignores=[]), prj_eval_path, "exec"), ns2)
+    ref_improve = ns2["improve_judge"]
+
+    labels_by_split = {}
+    for split, l0_file in (("train", train_l0), ("test", test_l0)):
+        recs = [json.loads(l) for l in open(l0_file)]
+        # the "new_*.json" layout PRJ_qrecc consumes, derived from the L0
+        # records themselves (ids 'conv-turn'; context_queries are the
+        # even Context slots, which L0 already rebuilt through its
+        # CONQRR-substituted sid2utt map — the seam under test)
+        new_file = tmp_path / f"new_{split}.json"
+        new_recs = []
+        for r in recs:
+            conv, t = r["sample_id"].split("_")[-2:]
+            ctx = r["ctx_utts_text"]
+            new_recs.append({
+                "sample_id": f"{conv}-{t}",
+                "context_queries": ctx[0::2],
+                "query": r["cur_utt_text"],
+                "oracle_query": r["oracle_utt_text"],
+                "last_response": ctx[-1] if ctx else "",
+                "pos_docs": r["pos_docs_pids"],
+            })
+        with open(new_file, "w") as f:
+            for r in new_recs:
+                f.write(json.dumps(r) + "\n")
+
+        probe_file = tmp_path / f"probes_{split}.json"
+        ref_prj.create_label_rel_turn(str(new_file), str(probe_file))
+        probes = [json.loads(l) for l in open(probe_file)]
+        ours_probes = create_label_rel_turn(new_recs, dataset="qrecc")
+        assert [p["id"] for p in ours_probes] == [p["id"] for p in probes]
+        assert [p["query_pair"] for p in ours_probes] == [
+            p["query_pair"] for p in probes
+        ]
+
+        # rebuild retrieval as the shared MRR oracle
+        cfg = _our_cfg(dataset="qrecc", max_concat_length=64)
+        examples = build_prj_probe_examples(cfg, tok, str(probe_file))
+        q_emb = np.asarray(encode(
+            params64, mcfg64,
+            jnp.asarray(np.asarray([e["pair_query"] for e in examples])),
+            jnp.asarray(np.asarray([e["pair_query_mask"] for e in examples])),
+        ))
+        searcher = BlockSearcher(top_k=len(pids), passage_chunk=8, use_pallas=False)
+        s_, i_ = searcher.search(
+            q_emb.astype(np.float32),
+            [(corpus_emb.astype(np.float32), np.asarray(pids, np.int64))],
+        )
+        runs = {qid: {str(p): float(sc) for p, sc in zip(i_[qi], s_[qi]) if p >= 0}
+                for qi, qid in enumerate(e2["sample_id"] for e2 in examples)}
+        qrels = {p["id"]: {str(p["pos_docs_id"][0]): 1} for p in probes}
+        _, per_q = trec_metrics(runs, qrels, qrels)
+        mrr = {qid: met["recip_rank"] for qid, met in per_q.items()}
+
+        scores_in_file_order = [mrr[p["id"]] for p in probes]
+        ref_labels = ref_improve(
+            str(probe_file), scores_in_file_order, str(new_file)
+        )
+        our_labels = improve_judge(
+            probes, mrr, qrel_ids={r["sample_id"] for r in new_recs}
+        )
+        assert ref_labels == our_labels, split
+        labels_by_split[split] = our_labels
+
+    # -- stage C: label merge (reference vs rebuild on aligned inputs) ---
+    merged = {}
+    for split, fname in (("train", train_doc), ("test", test_l0)):
+        labels = labels_by_split[split]
+        rel_file = tmp_path / f"rel_{split}.json"
+        recs = [json.loads(l) for l in open(fname)]
+        with open(rel_file, "w") as f:
+            for r in recs:
+                conv, t = r["sample_id"].split("_")[-2:]
+                if int(t) > 1:
+                    f.write(json.dumps({
+                        "id": f"{conv}-{t}",
+                        "rel_label": labels.get(f"{conv}-{t}", []),
+                    }) + "\n")
+        ref_out = tmp_path / f"{split}_rel_ref.json"
+        our_out = tmp_path / f"{split}_rel_our.json"
+        ns["merge_rel_label_info"](str(rel_file), str(fname), str(ref_out))
+        from haconvdr_tpu.preprocess import qrecc as ours_pre
+
+        ours_pre.merge_rel_label_info(str(rel_file), str(fname), str(our_out))
+        # aligned inputs: the reference's exhaustion defect never fires,
+        # so the two merges must agree byte-for-byte at the record level
+        assert [json.loads(l) for l in open(ref_out)] == [
+            json.loads(l) for l in open(our_out)
+        ], split
+        merged[split] = ref_out
+
+    # -- stage D: BM25 negatives through the reference merge + extract --
+    from haconvdr_tpu.mine.bm25 import BM25Index
+
+    idx = BM25Index()
+    for pid in pids:
+        idx.add(str(pid), docs[pid])
+    idx.finalize()
+    train_recs = [json.loads(l) for l in open(merged["train"])]
+    d_, s_ = idx.batch_search([r["cur_utt_text"] for r in train_recs], k=6)
+    bm25_run = tmp_path / "bm25_q.trec"
+    with open(bm25_run, "w") as f:
+        for qi, r in enumerate(train_recs):
+            for rank in range(d_.shape[1]):
+                if d_[qi, rank] < 0:
+                    break
+                f.write(
+                    f"{r['sample_id']} Q0 {idx.doc_ids[d_[qi, rank]]} "
+                    f"{rank + 1} {10 - rank} bm25\n"
+                )
+    with_negs = tmp_path / "train_negs.json"
+    ns["merge_bm25_neg_info"](str(bm25_run), str(merged["train"]), str(with_negs))
+    with_docs = tmp_path / "train_negs_doc.json"
+    ns["extract_doc_content_of_bm25_hard_negs_for_train_file"](
+        str(coll), str(with_negs), str(with_docs)
+    )
+    train_info = tmp_path / "train_with_info.json"
+    # rebuild reformulate (the reference's data[i-idx] walk defect is
+    # pinned in its own dedicated test; the chain wants the intended map)
+    from haconvdr_tpu.preprocess import qrecc as ours_pre
+
+    ours_pre.reformulate_dataset_info(str(with_docs), str(train_info))
+    info_recs = [json.loads(l) for l in open(train_info)]
+    assert any(r.get("bm25_hard_neg_docs") for r in info_recs)
+
+    # -- stage E: 3 reference torch train steps vs the rebuild ----------
+    args = _ref_args(is_train=True, use_PRL=True, max_concat_length=64)
+    ref_ds = ref_data.Retrieval_qrecc(args, tok, str(train_info))
+    collate = ref_data.Retrieval_qrecc.get_collate_fn(args)
+    ref_batch = collate([ref_ds[i] for i in range(len(ref_ds))])
+
+    config = transformers.RobertaConfig.from_pretrained(str(ckpt_dir))
+    config.hidden_dropout_prob = 0.0
+    config.attention_probs_dropout_prob = 0.0
+    q_enc = ref_models.ANCE.from_pretrained(str(ckpt_dir), config=config).double()
+    p_enc = ref_models.ANCE.from_pretrained(str(ckpt_dir), config=config).double()
+    q_enc.train()
+    p_enc.eval()
+    opt_args = Namespace(learning_rate=5e-3, adam_epsilon=1e-8)
+    optimizer = mq.get_optimizer(opt_args, q_enc, weight_decay=0.0)
+    scheduler = transformers.get_linear_schedule_with_warmup(
+        optimizer, num_warmup_steps=0, num_training_steps=3
+    )
+    mq.args = Namespace(hard_neg_type="bm25", device="cpu")
+    tq = torch.tensor(np.asarray(ref_batch["bt_conv_qa"]))
+    tqm = torch.tensor(np.asarray(ref_batch["bt_conv_qa_mask"]))
+    tp = torch.tensor(np.asarray(ref_batch["bt_pos_docs"]))
+    tpm = torch.tensor(np.asarray(ref_batch["bt_pos_docs_mask"]))
+    tn = torch.tensor(np.asarray(ref_batch["bt_neg_docs"]))
+    tnm = torch.tensor(np.asarray(ref_batch["bt_neg_docs_mask"]))
+    ref_losses = []
+    for _ in range(3):  # the hot loop, src/train_HAConvDR_qrecc.py:111-175
+        q_enc.zero_grad()
+        q_embs = q_enc.query_emb(tq, tqm)
+        with torch.no_grad():
+            pos_embs = p_enc.query_emb(tp, tpm).detach()
+            neg_embs = p_enc.query_emb(tn, tnm).detach()
+        loss = mq.cal_ranking_loss(q_embs, pos_embs, neg_embs)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(q_enc.parameters(), 1.0)
+        optimizer.step()
+        scheduler.step()
+        ref_losses.append(float(loss))
+
+    from haconvdr_tpu.config import TrainConfig
+    from haconvdr_tpu.data.loader import collate as our_collate
+    from haconvdr_tpu.data.qrecc import build_qrecc_examples
+    from haconvdr_tpu.models.encoder import stack_layer_params, unstack_layer_params
+    from haconvdr_tpu.parallel.mesh import make_mesh
+    from haconvdr_tpu.train.trainer import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    our_cfg = _our_cfg(
+        dataset="qrecc", is_train=True, use_PRL=True, max_concat_length=64
+    )
+    ours_ex = build_qrecc_examples(our_cfg, tok, str(train_info))
+    assert len(ours_ex) == len(ref_ds)
+    our_np = our_collate(ours_ex)
+    for ok, rk in (("conv_qa", "bt_conv_qa"), ("pos_docs", "bt_pos_docs"),
+                   ("neg_docs", "bt_neg_docs")):
+        np.testing.assert_array_equal(
+            np.asarray(our_np[ok]), np.asarray(ref_batch[rk]), err_msg=ok
+        )
+    batch = {k: jnp.asarray(v) for k, v in our_np.items()
+             if isinstance(v, np.ndarray)}
+    tcfg = TrainConfig(
+        per_device_train_batch_size=len(ours_ex), learning_rate=5e-3,
+        accumulation_steps=1, num_train_epochs=3, weight_decay=0.0,
+    )
+    mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    opt = make_optimizer(tcfg, 3)
+    step_fn = make_train_step(
+        mesh, mcfg64, tcfg, opt, loss_variant="ranking", query_key="conv_qa"
+    )
+    state = init_train_state(
+        jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float64),
+                               stack_layer_params(params0)),
+        opt,
+    )
+    frozen = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float64), stack_layer_params(params0)
+    )
+    our_losses = []
+    for _ in range(3):
+        state, loss = step_fn(state, frozen, batch)
+        our_losses.append(float(loss))
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-6, atol=1e-8)
+
+    # -- stage F: embed -> search -> TREC -> metrics, both routes --------
+    from haconvdr_tpu.eval.trec import (
+        dedup_ranked_candidates, read_qrels, read_run, write_run,
+    )
+
+    # eval records need pos_docs_text (Retrieval_qrecc skips empty ones);
+    # the reference repo ships no test-side extract, so inject the texts
+    # identically for BOTH routes from the stage-A collection
+    eval_file = tmp_path / "test_eval.json"
+    with open(eval_file, "w") as f:
+        for l in open(merged["test"]):
+            r = json.loads(l)
+            r["pos_docs_text"] = [docs[p] for p in r["pos_docs_pids"]]
+            f.write(json.dumps(r) + "\n")
+
+    eval_args = _ref_args(is_train=False, use_PRL=False, max_concat_length=64)
+    ref_eval = ref_data.Retrieval_qrecc(eval_args, tok, str(eval_file))
+    eval_collate = ref_data.Retrieval_qrecc.get_collate_fn(eval_args)
+    ebatch = eval_collate([ref_eval[i] for i in range(len(ref_eval))])
+    qids = list(ebatch["bt_sample_ids"])
+    q_enc.eval()
+    with torch.no_grad():
+        ref_q = q_enc.query_emb(
+            torch.tensor(np.asarray(ebatch["bt_conv_qa"])),
+            torch.tensor(np.asarray(ebatch["bt_conv_qa_mask"])),
+        ).numpy()
+
+    our_eval = build_qrecc_examples(
+        _our_cfg(dataset="qrecc", is_train=False, max_concat_length=64),
+        tok, str(eval_file),
+    )
+    trained = unstack_layer_params(state.params)
+    our_q = np.asarray(encode(
+        trained, mcfg64,
+        jnp.asarray(np.asarray([e["conv_qa"] for e in our_eval])),
+        jnp.asarray(np.asarray([e["conv_qa_mask"] for e in our_eval])),
+    ))
+    assert [e["sample_id"] for e in our_eval] == qids
+    np.testing.assert_allclose(our_q, ref_q, rtol=1e-5, atol=1e-5)
+
+    run_files = {}
+    for name, q_emb in (("ref", ref_q), ("ours", our_q)):
+        searcher = BlockSearcher(top_k=len(pids), passage_chunk=8, use_pallas=False)
+        s_, i_ = searcher.search(
+            q_emb.astype(np.float32),
+            [(corpus_emb.astype(np.float32), np.asarray(pids, np.int64))],
+        )
+        ranked = dedup_ranked_candidates(qids, s_, i_, None, len(pids))
+        run_path = tmp_path / f"run_q_{name}.trec"
+        write_run(ranked, str(run_path))
+        run_files[name] = run_path
+
+    la = open(run_files["ref"]).read().splitlines()
+    lb = open(run_files["ours"]).read().splitlines()
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        fa, fb = a.split(), b.split()
+        assert (fa[0], fa[2], fa[3]) == (fb[0], fb[2], fb[3]), (a, b)
+
+    qrels, qrels_ndcg = read_qrels(str(qrel_file), 1)
+    met_ref, _ = trec_metrics(read_run(str(run_files["ref"])), qrels, qrels_ndcg)
+    met_ours, _ = trec_metrics(read_run(str(run_files["ours"])), qrels, qrels_ndcg)
+    assert met_ref == met_ours
+    assert met_ref["MRR"] > 0
