@@ -349,6 +349,104 @@ def bench_latency(jax, jnp):
     }
 
 
+def bench_e2e(jax, jnp):
+    """BENCH_E2E=1: end-to-end single-query SERVING latency on device —
+    the full Retriever.retrieve compute path (query tower forward over a
+    512-token conversational concat + fused top-100 search over one
+    resident 2.5M block) timed as one pipelined dispatch chain.  Host
+    costs (tokenization ~100 us, the final [1,100] pull) are excluded:
+    on this dev relay they are swamped by the ~25 ms link latency that a
+    real TPU VM does not pay.
+
+    Index dtype follows the flat benches: int8 by default (the capacity
+    tier; BENCH_BF16=1 selects the lossless bf16 tier).  The encoder runs
+    bf16 (the serving contract: embeddings are bf16-native).
+
+    Baseline pin: faiss-gpu single-block search ~10 ms (BENCH_LATENCY
+    pin) + a V100-class torch RoBERTa-base B=1/512-token forward ~6 ms
+    = 16 ms reference e2e; vs_baseline = 16/measured.
+    """
+    from haconvdr_tpu.config import ModelConfig
+    from haconvdr_tpu.models.encoder import (
+        encode,
+        init_encoder_params,
+        stack_layer_params,
+    )
+    from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
+
+    BASELINE_E2E_MS = 16.0
+    L = 512
+    use_bf16 = bool(os.environ.get("BENCH_BF16"))
+    idx_dtype = jnp.bfloat16 if use_bf16 else jnp.int8
+    mcfg = ModelConfig(dtype="bfloat16")
+    params = stack_layer_params(init_encoder_params(jax.random.PRNGKey(0), mcfg))
+
+    n_pad = -(-N_PASSAGES // 2048) * 2048
+    if idx_dtype == jnp.int8:
+        CH = n_pad // 12
+
+        @jax.jit
+        def gen_chunk(key):
+            return jax.random.bits(key, (CH, DIM), jnp.uint8).astype(jnp.int8)
+
+        insert = jax.jit(
+            lambda b, c, o: jax.lax.dynamic_update_slice(b, c, (o, 0)),
+            donate_argnums=(0,),
+        )
+        passages = jnp.zeros((n_pad, DIM), jnp.int8)
+        for c in range(12):
+            passages = insert(
+                passages, gen_chunk(jax.random.PRNGKey(c)), jnp.int32(c * CH)
+            )
+    else:
+        passages = jax.random.normal(jax.random.PRNGKey(1), (n_pad, DIM), idx_dtype)
+    nv = jnp.int32(N_PASSAGES)
+
+    reps = 10
+    import jax as _jax
+
+    @_jax.jit
+    def e2e(params, passages, key):
+        def body(c, k):
+            ids = jax.random.randint(k, (1, L), 2, 50000, jnp.int32)
+            mask = jnp.ones((1, L), jnp.int32)
+            q = encode(params, mcfg, ids, mask).astype(jnp.bfloat16)
+            s, i = pallas_topk_block(q, passages, nv, TOP_K)
+            return c + s[0, 0].astype(jnp.float32) * 0, s[:1, :1]
+
+        _, outs = _jax.lax.scan(body, jnp.float32(0), jax.random.split(key, reps))
+        return outs
+
+    @_jax.jit
+    def enc_only(params, key):
+        def body(c, k):
+            ids = jax.random.randint(k, (1, L), 2, 50000, jnp.int32)
+            mask = jnp.ones((1, L), jnp.int32)
+            q = encode(params, mcfg, ids, mask)
+            return c + q[0, 0].astype(jnp.float32) * 0, q[:1, :1]
+
+        _, outs = _jax.lax.scan(body, jnp.float32(0), jax.random.split(key, reps))
+        return outs
+
+    np.asarray(jax.device_get(e2e(params, passages, jax.random.PRNGKey(2))))
+    t0 = time.time()
+    np.asarray(jax.device_get(e2e(params, passages, jax.random.PRNGKey(3))))
+    total_ms = (time.time() - t0) / reps * 1000.0
+    np.asarray(jax.device_get(enc_only(params, jax.random.PRNGKey(4))))
+    t0 = time.time()
+    np.asarray(jax.device_get(enc_only(params, jax.random.PRNGKey(5))))
+    enc_ms = (time.time() - t0) / reps * 1000.0
+    return {
+        "metric": "serve_e2e_single_query_ms_2.5M"
+        + ("_bf16" if use_bf16 else "_int8"),
+        "value": round(total_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_E2E_MS / total_ms, 3),
+        "encode_ms": round(enc_ms, 2),
+        "search_ms": round(total_ms - enc_ms, 2),
+    }
+
+
 def bench_ivf(jax, jnp):
     """BENCH_IVF=1: cluster-pruned online serving (index/ivf.py) at 2.5M.
     Data is a CLUSTERED mixture generated on device (IVF's regime; with
@@ -449,6 +547,7 @@ def main():
         "ivf": bench_ivf,
         "train": bench_train,
         "encode": bench_encode,
+        "e2e": bench_e2e,
     }
     on_tpu = jax.devices()[0].platform == "tpu"
 
@@ -472,6 +571,7 @@ def main():
             ("ivf", {"BENCH_IVF": "1"}),
             ("train", {"BENCH_TRAIN": "1"}),
             ("encode", {"BENCH_ENCODE": "1"}),
+            ("e2e", {"BENCH_E2E": "1"}),
         ]
         if on_tpu:
             for name, extra in env_modes:
