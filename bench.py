@@ -271,6 +271,29 @@ def bench_encode(jax, jnp):
     }
 
 
+def _gen_int8_corpus(jax, jnp, n_pad):
+    """Device-side random int8 corpus [n_pad, DIM] in 12 chunks: a
+    whole-corpus random.bits materializes corpus-sized uint32
+    intermediates (OOM at 2.5M x 768).  Shared by bench_latency and
+    bench_e2e."""
+    CH = n_pad // 12
+
+    @jax.jit
+    def gen_chunk(key):
+        return jax.random.bits(key, (CH, DIM), jnp.uint8).astype(jnp.int8)
+
+    insert = jax.jit(
+        lambda b, c, o: jax.lax.dynamic_update_slice(b, c, (o, 0)),
+        donate_argnums=(0,),
+    )
+    passages = jnp.zeros((n_pad, DIM), jnp.int8)
+    for c in range(12):
+        passages = insert(
+            passages, gen_chunk(jax.random.PRNGKey(c)), jnp.int32(c * CH)
+        )
+    return passages
+
+
 def bench_latency(jax, jnp):
     """BENCH_LATENCY=1: online-serving single-query latency over one
     resident 2.5M block (one query rides the same fused kernel with the
@@ -295,23 +318,7 @@ def bench_latency(jax, jnp):
     n_pad = -(-N_PASSAGES // 2048) * 2048
     kq, kp = jax.random.split(jax.random.PRNGKey(0))
     if dtype == jnp.int8:
-        # chunked generation: a whole-corpus random.bits materializes
-        # corpus-sized uint32 intermediates (OOM at 2.5M x 768)
-        CH = n_pad // 12
-
-        @jax.jit
-        def gen_chunk(key):
-            return jax.random.bits(key, (CH, DIM), jnp.uint8).astype(jnp.int8)
-
-        insert = jax.jit(
-            lambda b, c, o: jax.lax.dynamic_update_slice(b, c, (o, 0)),
-            donate_argnums=(0,),
-        )
-        passages = jnp.zeros((n_pad, DIM), jnp.int8)
-        for c in range(12):
-            passages = insert(
-                passages, gen_chunk(jax.random.PRNGKey(c)), jnp.int32(c * CH)
-            )
+        passages = _gen_int8_corpus(jax, jnp, n_pad)
         query = jax.random.normal(kq, (1, DIM), jnp.bfloat16)
     else:
         passages = jax.random.normal(kp, (n_pad, DIM), dtype)
@@ -383,21 +390,7 @@ def bench_e2e(jax, jnp):
 
     n_pad = -(-N_PASSAGES // 2048) * 2048
     if idx_dtype == jnp.int8:
-        CH = n_pad // 12
-
-        @jax.jit
-        def gen_chunk(key):
-            return jax.random.bits(key, (CH, DIM), jnp.uint8).astype(jnp.int8)
-
-        insert = jax.jit(
-            lambda b, c, o: jax.lax.dynamic_update_slice(b, c, (o, 0)),
-            donate_argnums=(0,),
-        )
-        passages = jnp.zeros((n_pad, DIM), jnp.int8)
-        for c in range(12):
-            passages = insert(
-                passages, gen_chunk(jax.random.PRNGKey(c)), jnp.int32(c * CH)
-            )
+        passages = _gen_int8_corpus(jax, jnp, n_pad)
     else:
         passages = jax.random.normal(jax.random.PRNGKey(1), (n_pad, DIM), idx_dtype)
     nv = jnp.int32(N_PASSAGES)

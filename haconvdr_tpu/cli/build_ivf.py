@@ -12,8 +12,8 @@ multi-pass streaming build (parallel/sharded_ivf.build_ivf_from_store)
 runs once here, the per-shard slabs land in ``out``
 (save_ivf_sharded), and every serving restart loads them in seconds —
 ``Retriever(ivf=True, ivf_dir=out)`` or ``load_ivf_sharded`` directly,
-onto the SAME or a RESHAPED pod (nlist must divide the new shard
-count).  Prints one JSON line with the build stats.
+onto the SAME or a RESHAPED pod (the new shard count must divide
+nlist).  Prints one JSON line with the build stats.
 """
 
 import json
@@ -24,24 +24,14 @@ import time
 logger = logging.getLogger(__name__)
 
 
-def _parse_args(argv):
-    out = {}
-    for a in argv:
-        k, sep, v = a.partition("=")
-        if not sep:
-            raise SystemExit(f"expected key=value, got {a!r}")
-        out[k] = v
-    return out
-
-
 def main(argv=None):
-    from haconvdr_tpu.utils.io import setup_logging
+    from haconvdr_tpu.utils.io import parse_kv_args, setup_logging
 
     setup_logging()
     from haconvdr_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    args = _parse_args(list(sys.argv[1:] if argv is None else argv))
+    args = parse_kv_args(list(sys.argv[1:] if argv is None else argv))
     if "embeddings" not in args or "out" not in args:
         raise SystemExit(__doc__)
 

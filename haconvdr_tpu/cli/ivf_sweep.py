@@ -33,14 +33,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def _parse_args(argv: List[str]) -> Dict[str, str]:
-    out = {}
-    for a in argv:
-        k, eq, v = a.partition("=")
-        if not eq:
-            raise SystemExit(f"expected key=value, got {a!r}")
-        out[k] = v
-    return out
+from haconvdr_tpu.utils.io import load_npy_bf16, parse_kv_args as _parse_args
 
 
 def _load_embeddings(spec: str) -> np.ndarray:
@@ -52,12 +45,7 @@ def _load_embeddings(spec: str) -> np.ndarray:
         store = EmbeddingBlockStore.open_auto(spec)
         parts = [np.asarray(e, np.float32) for e, _ in store.iter_blocks()]
         return np.concatenate(parts, axis=0)
-    arr = np.load(spec, mmap_mode="r")
-    if arr.dtype == np.dtype("V2"):
-        import ml_dtypes
-
-        arr = np.asarray(arr.view(ml_dtypes.bfloat16), np.float32)
-    return np.asarray(arr, np.float32)
+    return np.asarray(load_npy_bf16(spec), np.float32)
 
 
 def sweep(
@@ -130,7 +118,12 @@ def sweep(
                 ]))
                 recall2 = None
                 if rescore_oversample > 1.0:
-                    m = int(np.ceil(k * rescore_oversample))
+                    # clamp to the candidate pool: probed buckets + tail
+                    # (lax.top_k errors when k exceeds the scored axis)
+                    pool = (
+                        nprobe * index.buckets.shape[1] + tail_rows
+                    )
+                    m = min(int(np.ceil(k * rescore_oversample)), pool)
                     _, ci = ivf_search(index, queries, k=m, nprobe=nprobe)
                     r2 = []
                     for r in range(len(queries)):

@@ -576,20 +576,27 @@ def _save_bf16_safe(path, arr):
 
 
 def _mmap_load(path):
-    arr = np.load(path, mmap_mode="r")
-    if arr.dtype == np.dtype("V2"):  # np.save stores bf16 as raw void
-        import ml_dtypes
+    from haconvdr_tpu.utils.io import load_npy_bf16
 
-        arr = arr.view(ml_dtypes.bfloat16)
-    return arr
+    return load_npy_bf16(path, mmap=True)
 
 
 def save_ivf_sharded(index: IVFIndex, dir_path: str) -> None:
     """Persist a mesh-sharded IVFIndex as per-shard .npy slabs + one set
-    of replicated sidecars.  Pulls ONE shard's slice to host at a time."""
+    of replicated sidecars.  Pulls ONE shard's slice to host at a time.
+
+    Single-controller only: ``addressable_shards`` covers this process's
+    devices, so a multi-process save would silently persist a partial
+    index — guarded below (per-process gather is future work)."""
     import json
     import os
 
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "save_ivf_sharded enumerates only this process's shards; on a "
+            f"multi-process pod ({jax.process_count()} processes) it would "
+            "persist a partial index.  Gather to one controller first."
+        )
     os.makedirs(dir_path, exist_ok=True)
 
     def _shards(arr):
@@ -628,6 +635,11 @@ def save_ivf_sharded(index: IVFIndex, dir_path: str) -> None:
             _save_bf16_safe(path, val)
         elif os.path.exists(path):
             os.remove(path)  # never leave stale quantization sidecars
+    # staleness fingerprint for reload guards (serve.Retriever):
+    # the exact valid-row count and the canonical bucket dtype
+    corpus_rows = int(
+        jnp.sum(index.bucket_ids >= 0) + jnp.sum(index.tail_ids >= 0)
+    )
     with open(os.path.join(dir_path, "ivf_sharded_meta.json"), "w") as f:
         json.dump(
             {
@@ -638,15 +650,19 @@ def save_ivf_sharded(index: IVFIndex, dir_path: str) -> None:
                 "capacity": int(index.buckets.shape[1]),
                 "dim": int(index.buckets.shape[2]),
                 "tail_rows": int(index.tail.shape[0]),
+                "bucket_dtype": str(index.buckets.dtype),
+                "corpus_rows": corpus_rows,
             },
             f,
         )
 
 
-def load_ivf_sharded(mesh: Mesh, dir_path: str) -> IVFIndex:
+def load_ivf_sharded(mesh: Mesh, dir_path: str, with_meta: bool = False):
     """Inverse of :func:`save_ivf_sharded` onto ``mesh`` — which may have
-    a DIFFERENT device count than the saving mesh (nlist must divide it).
-    Host peak is one target shard's slab (per-shard mmap reads)."""
+    a DIFFERENT device count than the saving mesh (the target shard count
+    must divide the saved nlist).  Host peak is one target shard's slab
+    (per-shard mmap reads).  ``with_meta=True`` returns
+    ``(index, meta_dict)`` so callers can run staleness checks."""
     import json
     import os
 
@@ -659,8 +675,8 @@ def load_ivf_sharded(mesh: Mesh, dir_path: str) -> IVFIndex:
     n_saved = meta["n_shards"]
     if nlist % n_new:
         raise ValueError(
-            f"saved nlist ({nlist}) must divide the target shard count "
-            f"({n_new})"
+            f"the target shard count ({n_new}) must divide the saved "
+            f"nlist ({nlist}) — use a device count that divides {nlist}"
         )
     per_saved = nlist // n_saved
     per_new = nlist // n_new
@@ -737,14 +753,10 @@ def load_ivf_sharded(mesh: Mesh, dir_path: str) -> IVFIndex:
         path = os.path.join(dir_path, name + ".npy")
         if not os.path.exists(path):
             return None
-        arr = np.load(path)
-        if arr.dtype == np.dtype("V2"):
-            import ml_dtypes
+        # np.array: materialize off the mmap before the device_put
+        return jax.device_put(jnp.asarray(np.array(_mmap_load(path))), rep)
 
-            arr = arr.view(ml_dtypes.bfloat16)
-        return jax.device_put(jnp.asarray(arr), rep)
-
-    return IVFIndex(
+    index = IVFIndex(
         centroids=_opt("centroids"),
         buckets=buckets,
         bucket_ids=bucket_ids,
@@ -756,3 +768,4 @@ def load_ivf_sharded(mesh: Mesh, dir_path: str) -> IVFIndex:
         mu=_opt("mu"),
         tail_scale=_opt("tail_scale"),
     )
+    return (index, meta) if with_meta else index

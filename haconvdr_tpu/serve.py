@@ -64,7 +64,7 @@ class Retriever:
         store_dtype: str = "float32",
         ivf: bool = False,
         ivf_nlist: int = 1024,
-        ivf_nprobe: int = 32,
+        ivf_nprobe: Optional[int] = None,
         ivf_dir: Optional[str] = None,
     ):
         self.tokenizer = tokenizer
@@ -97,13 +97,50 @@ class Retriever:
             ):
                 # restart path: reload the persisted per-shard slabs
                 # instead of repaying the multi-pass corpus build —
-                # works across a CHANGED pod shape (nlist must divide
-                # the new shard count; sharded_ivf.load_ivf_sharded)
-                idx = load_ivf_sharded(self.mesh, ivf_dir)
+                # works across a CHANGED pod shape (the target shard
+                # count must divide nlist; sharded_ivf.load_ivf_sharded).
+                # The persisted nprobe (which captured the build's
+                # probe-everything rounding) is the default, so a restart
+                # with the same arguments serves the same results; an
+                # explicit ivf_nprobe overrides it.  Cheap staleness
+                # guards: the bucket dtype must match store_dtype, and
+                # the store's row count (block-header metadata only — the
+                # embedding payloads are NOT read) must match the count
+                # recorded at build time.
+                idx, meta = load_ivf_sharded(self.mesh, ivf_dir, with_meta=True)
+                saved_dtype = meta.get("bucket_dtype")
+                if saved_dtype is not None and saved_dtype != store_dtype:
+                    raise ValueError(
+                        f"ivf_dir {ivf_dir!r} holds {saved_dtype} buckets "
+                        f"but store_dtype={store_dtype!r} was requested; "
+                        "rebuild (remove the dir) or match store_dtype"
+                    )
+                saved_rows = meta.get("corpus_rows")
+                rows = None
+                if saved_rows is not None and hasattr(store, "num_blocks"):
+                    rows = sum(
+                        store.block_size(b) for b in range(store.num_blocks())
+                    )
+                    if rows != saved_rows:
+                        raise ValueError(
+                            f"ivf_dir {ivf_dir!r} was built from "
+                            f"{saved_rows} corpus rows but the store now "
+                            f"has {rows}; the persisted index is stale — "
+                            "remove the dir to rebuild"
+                        )
                 nlist = idx.centroids.shape[0]
-                self.ivf_index = idx._replace(
-                    nprobe=int(min(ivf_nprobe, nlist))
-                )
+                if ivf_nprobe is not None:
+                    # the build path's probe-everything rule, re-applied
+                    # with the same inputs so identical constructor args
+                    # serve identical results across a restart
+                    n_rows = rows if rows is not None else saved_rows
+                    if n_rows is not None:
+                        req_nlist = min(ivf_nlist, max(1, n_rows // 8))
+                        nprobe = nlist if ivf_nprobe >= req_nlist else ivf_nprobe
+                    else:
+                        nprobe = min(ivf_nprobe, nlist)
+                    idx = idx._replace(nprobe=int(nprobe))
+                self.ivf_index = idx
                 self.index = None
                 self.store = None
                 return
@@ -121,8 +158,9 @@ class Retriever:
             req_nlist = min(ivf_nlist, max(1, n_valid // 8))
             nlist = max(n_shards, (req_nlist // n_shards) * n_shards)
             # "probe everything" requests survive the shard-divisibility
-            # rounding of nlist
-            nprobe = nlist if ivf_nprobe >= req_nlist else ivf_nprobe
+            # rounding of nlist; None = the class default of 32
+            want_nprobe = 32 if ivf_nprobe is None else ivf_nprobe
+            nprobe = nlist if want_nprobe >= req_nlist else want_nprobe
             self.ivf_index = build_ivf_from_store(
                 self.mesh,
                 store,

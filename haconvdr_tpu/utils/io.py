@@ -69,3 +69,29 @@ def setup_logging(level: int = logging.INFO) -> None:
         level=level,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
     )
+
+
+def parse_kv_args(argv: Iterable[str]) -> dict:
+    """``key=value`` CLI argument parser shared by the artifact CLIs
+    (cli/ivf_sweep.py, cli/build_ivf.py)."""
+    out = {}
+    for a in argv:
+        k, eq, v = str(a).partition("=")
+        if not eq:
+            raise SystemExit(f"expected key=value, got {a!r}")
+        out[k] = v
+    return out
+
+
+def load_npy_bf16(path: str, mmap: bool = True):
+    """np.load that round-trips bfloat16: np.save stores bf16 arrays as
+    raw void-2 records; view them back (index/ivf.py save format,
+    parallel/sharded_ivf.py per-shard slabs)."""
+    import numpy as np
+
+    arr = np.load(path, mmap_mode="r" if mmap else None)
+    if arr.dtype == np.dtype("V2"):
+        import ml_dtypes
+
+        arr = arr.view(ml_dtypes.bfloat16)
+    return arr

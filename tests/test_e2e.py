@@ -502,18 +502,38 @@ def test_retriever_ivf_dir_persistence(pipeline):
     assert os.path.exists(os.path.join(ivf_dir, "ivf_sharded_meta.json"))
     hits1 = r1.retrieve(_passage_text(21))
 
-    class _Explodes:  # the reload path must never re-read the store
+    class _MetadataOnly:
+        """Reload may read block-size METADATA (the staleness row-count
+        check) but must never stream embedding payloads (the rebuild)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
         def num_blocks(self):
-            raise AssertionError("reload path rebuilt the IVF index")
+            return self._inner.num_blocks()
 
         def block_size(self, b):
-            raise AssertionError("reload path rebuilt the IVF index")
+            return self._inner.block_size(b)
 
         def iter_blocks(self, *a, **k):
             raise AssertionError("reload path rebuilt the IVF index")
 
-    r2 = Retriever(tok, params, mcfg, _Explodes(), **kw)
+    r2 = Retriever(tok, params, mcfg, _MetadataOnly(store), **kw)
     assert r2.ivf_index is not None
+    # identical constructor args serve identical results across the
+    # restart — including the probe-everything nprobe rounding
+    assert r2.ivf_index.nprobe == r1.ivf_index.nprobe
     hits2 = r2.retrieve(_passage_text(21))
     assert hits1 == hits2
     assert hits2[0][0] == 21
+
+    # stale artifacts are refused, not silently served: a store with a
+    # different row count must raise
+    class _Grown(_MetadataOnly):
+        def block_size(self, b):
+            return self._inner.block_size(b) + 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stale"):
+        Retriever(tok, params, mcfg, _Grown(store), **kw)

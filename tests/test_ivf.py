@@ -712,3 +712,17 @@ def test_build_ivf_cli(rng, tmp_path, capsys):
     s, i = sharded_ivf_search(mesh, idx, q, k=5)
     rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(x), 5)
     np.testing.assert_allclose(s, np.asarray(rs), rtol=1e-5)
+
+
+def test_ivf_sweep_oversample_clamps_to_pool(rng, tmp_path):
+    """An oversample whose m exceeds the candidate pool (nprobe*capacity
+    + tail) must clamp instead of crashing lax.top_k mid-sweep."""
+    from haconvdr_tpu.cli.ivf_sweep import sweep
+
+    x = _mixture(rng, 2000, 16, n_modes=8)
+    q = _mixture(rng, 8, 16, n_modes=8)
+    # nprobe=1 over 16 clusters: pool ~ capacity + tail << 50x oversample
+    rows = sweep(x, q, nlists=[16], nprobes=[1], slacks=[1.3], k=10,
+                 dtype="float32", rescore_oversample=50.0)
+    ok = [r for r in rows if "recall_at_k" in r]
+    assert ok and ok[0]["recall_two_stage"] is not None
