@@ -9,6 +9,10 @@ use: load a trained ANCE checkpoint + an embedding store once, then answer
 from __future__ import annotations
 
 import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -305,3 +309,202 @@ class Retriever:
         embs = self.embed([ex])
         scores, ids = self.search(embs, k)
         return [(int(p), float(s)) for p, s in zip(ids[0], scores[0]) if p >= 0]
+
+
+class _Request:
+    __slots__ = ("example", "k", "future")
+
+    def __init__(self, example: Dict, k: int, future: Future):
+        self.example = example
+        self.k = k
+        self.future = future
+
+
+_SHUTDOWN = object()
+
+
+class BatchingRetriever:
+    """Micro-batching serving frontend over a :class:`Retriever`.
+
+    Measured motivation (BASELINE.md BENCH_E2E): single-stream serving is
+    ENCODER-bound — at B=1 the 12L query forward is 3.56 ms vs 3.30 ms for
+    the int8 search over 2.5M resident — while the encoder is batch-flat to
+    B=512+.  Coalescing concurrent queries into one device dispatch
+    therefore multiplies throughput at nearly constant per-query latency;
+    this class is that coalescer.  (The reference has no serving layer at
+    all — retrieval exists only as offline batch-eval scripts,
+    /root/reference/src/test_HAConvDR_topiocqa.py — so this is
+    beyond-reference surface, like Retriever itself.)
+
+    Design, TPU-first:
+
+    * ONE worker thread owns all device dispatch (two concurrent TPU
+      dispatch streams corrupt each other's timing and contend for the
+      single chip — NOTES.md environment constraints), so callers may
+      submit from any number of threads.
+    * Static shapes: a coalesced batch of n requests runs at the smallest
+      power-of-two bucket >= n (capped at ``max_batch``), so XLA compiles
+      once per bucket instead of once per arrival count.  Encoder padding
+      rides the existing ``collate(pad_to=bucket)`` valid-mask machinery;
+      the search stage pads the query matrix with copies of row 0 and
+      slices per-request results.
+    * Tokenization/concat (``build_query``) runs in the CALLER's thread at
+      :meth:`submit` — host work stays parallel, the worker only touches
+      the device.
+    * ``k`` is per-request but bounded by the retriever's configured
+      ``search_cfg.top_k`` (one compiled k; requests slice their prefix).
+
+    ``max_wait_ms`` bounds added latency: the worker dispatches as soon as
+    ``max_batch`` requests are queued or the oldest waiting request has
+    aged past the window, whichever comes first.  A lone request therefore
+    pays at most ``max_wait_ms`` over the single-query path.
+    """
+
+    def __init__(
+        self,
+        retriever: Retriever,
+        max_batch: int = 64,
+        max_wait_ms: float = 2.0,
+        queue_depth: int = 1024,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.retriever = retriever
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self._q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+        self._closed = threading.Event()
+        self._lock = threading.Lock()
+        self._n_queries = 0
+        self._n_dispatches = 0
+        self._batch_hist: Dict[int, int] = {}
+        self._worker = threading.Thread(
+            target=self._run, name="haconvdr-serve-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- client API ----------------------------------------------------------
+    def submit(
+        self,
+        question: str,
+        history: Optional[Sequence[Tuple[str, str]]] = None,
+        history_passages: Optional[Sequence[str]] = None,
+        k: Optional[int] = None,
+    ) -> Future:
+        """Enqueue one conversational query; resolves to [(pid, score)]."""
+        if self._closed.is_set():
+            raise RuntimeError("BatchingRetriever is closed")
+        k = k or self.retriever.search_cfg.top_k
+        if k > self.retriever.search_cfg.top_k:
+            raise ValueError(
+                f"k={k} exceeds the retriever's compiled top_k="
+                f"{self.retriever.search_cfg.top_k}; raise SearchConfig.top_k"
+            )
+        ex = self.retriever.build_query(question, history, history_passages)
+        fut: Future = Future()
+        self._q.put(_Request(ex, int(k), fut))
+        with self._lock:
+            self._n_queries += 1
+        return fut
+
+    def retrieve(self, *args, **kw) -> List[Tuple[int, float]]:
+        """Blocking convenience wrapper over :meth:`submit`."""
+        return self.submit(*args, **kw).result()
+
+    def stats(self) -> Dict:
+        """{"queries", "dispatches", "batch_histogram"} so far."""
+        with self._lock:
+            return {
+                "queries": self._n_queries,
+                "dispatches": self._n_dispatches,
+                "batch_histogram": dict(self._batch_hist),
+            }
+
+    def close(self) -> None:
+        """Drain in-flight work, then stop the worker.  Idempotent."""
+        if self._closed.is_set():
+            return
+        self._closed.set()
+        self._q.put(_SHUTDOWN)
+        self._worker.join()
+        # anything enqueued after the sentinel (submit/close race) fails
+        # loudly rather than hanging its caller
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _SHUTDOWN:
+                item.future.set_exception(
+                    RuntimeError("BatchingRetriever closed before dispatch")
+                )
+
+    def __enter__(self) -> "BatchingRetriever":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- worker --------------------------------------------------------------
+    def _run(self) -> None:
+        while True:
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                if self._closed.is_set():
+                    return
+                continue
+            if first is _SHUTDOWN:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_ms / 1e3
+            stop = False
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _SHUTDOWN:
+                    stop = True
+                    break
+                batch.append(nxt)
+            self._dispatch(batch)
+            if stop:
+                return
+
+    def _dispatch(self, batch: List[_Request]) -> None:
+        n = len(batch)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        with self._lock:
+            self._n_dispatches += 1
+            self._batch_hist[n] = self._batch_hist.get(n, 0) + 1
+        try:
+            r = self.retriever
+            # fixed-bucket encode: collate(pad_to=bucket) carries a valid
+            # mask, encode_batches drops the pad rows -> embs is [n, D]
+            embs, _ = encode_batches(
+                r._encode, r.params,
+                batch_iter([req.example for req in batch], bucket),
+                r.mesh, "conv_qp", "conv_qp_mask",
+            )
+            if n < bucket:  # static search shape: pad queries to the bucket
+                pad = np.broadcast_to(embs[:1], (bucket - n, embs.shape[1]))
+                embs = np.concatenate([embs, pad], axis=0)
+            scores, ids = r.search(embs)
+            for i, req in enumerate(batch):
+                hits = [
+                    (int(p), float(s))
+                    for p, s in zip(ids[i], scores[i])
+                    if p >= 0
+                ][: req.k]
+                req.future.set_result(hits)
+        except Exception as e:  # surface the failure on every waiter
+            logger.exception("batched dispatch failed (%d queries)", n)
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(e)

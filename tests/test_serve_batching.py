@@ -1,0 +1,177 @@
+"""BatchingRetriever: the micro-batching serving frontend.
+
+Correctness contract: concurrent submissions through the batcher return
+exactly what the sequential Retriever.retrieve path returns, requests are
+actually coalesced into fewer device dispatches, per-request k slices the
+shared compiled top_k, and worker failures surface on every waiting future
+(never a hang).  The reference has no serving layer (retrieval exists only
+as batch eval scripts, src/test_HAConvDR_topiocqa.py) — this is
+beyond-reference surface, tested on the virtual CPU mesh.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from haconvdr_tpu.config import DataConfig, IndexConfig, ModelConfig, SearchConfig
+from haconvdr_tpu.index.build import encode_corpus, tokenize_collection
+from haconvdr_tpu.index.store import EmbeddingBlockStore
+from haconvdr_tpu.models.encoder import init_encoder_params
+from haconvdr_tpu.parallel.mesh import make_mesh
+from haconvdr_tpu.parallel.sharded_encode import make_sharded_encode_fn, shard_params
+from haconvdr_tpu.serve import BatchingRetriever, Retriever
+from haconvdr_tpu.utils.testing import FakeTokenizer
+
+N_PASSAGES = 40
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+def _passage_text(pid):
+    return " ".join(WORDS[(pid + j) % len(WORDS)] for j in range(4)) + f" tok{pid}"
+
+
+@pytest.fixture(scope="module")
+def retriever(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve_batching")
+    coll = tmp / "collection.tsv"
+    with open(coll, "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for pid in range(1, N_PASSAGES + 1):
+            f.write(f"{pid}\t{_passage_text(pid)}\ttitle {pid}\n")
+
+    tok = FakeTokenizer()
+    mcfg = ModelConfig.tiny(vocab_size=512)
+    icfg = IndexConfig(
+        raw_collection_path=str(coll),
+        data_output_path=str(tmp / "tokenized"),
+        max_seq_length=16,
+        num_tokenize_workers=1,
+    )
+    corpus = tokenize_collection(icfg, tokenizer=tok)
+    mesh = make_mesh()
+    params = init_encoder_params(jax.random.PRNGKey(0), mcfg)
+    fn = make_sharded_encode_fn(mesh, mcfg)
+    encode_corpus(
+        corpus, fn, shard_params(mesh, params),
+        str(tmp / "embeds"), batch_size=16, per_block_passage_num=24,
+    )
+    store = EmbeddingBlockStore(str(tmp / "embeds"))
+    return Retriever(
+        tok, params, mcfg, store,
+        offset2pid=corpus.offset2pid(),
+        data_cfg=DataConfig(
+            is_train=False, use_PRL=False,
+            max_query_length=16, max_doc_length=16, max_concat_length=24,
+        ),
+        search_cfg=SearchConfig(
+            top_k=5, per_device_test_batch_size=1,
+            passage_chunk=8, query_chunk=4,
+        ),
+        resident=True,
+    )
+
+
+def test_batched_matches_sequential_and_coalesces(retriever):
+    """Concurrent submissions equal the sequential path exactly, and the
+    worker coalesces them into fewer device dispatches than queries."""
+    golds = [3, 17, 25, 31, 8, 12, 22, 37]
+    sequential = {pid: retriever.retrieve(_passage_text(pid)) for pid in golds}
+
+    with BatchingRetriever(retriever, max_batch=8, max_wait_ms=300.0) as b:
+        futures = {pid: b.submit(_passage_text(pid)) for pid in golds}
+        results = {pid: fut.result(timeout=60) for pid, fut in futures.items()}
+
+    for pid in golds:
+        # the sequential path searches at Q=1, the batcher at the Q=8
+        # bucket; on this random-init tiny model the tail of top-5 has
+        # near-ties that flip under shape-dependent float reassociation,
+        # so the contract is: identical top-1, score vectors allclose,
+        # and pid agreement wherever the score gap is above tolerance
+        assert results[pid][0][0] == pid  # exact-token query ranks itself #1
+        assert sequential[pid][0][0] == pid
+        b_scores = np.array([s for _, s in results[pid]])
+        s_scores = np.array([s for _, s in sequential[pid]])
+        np.testing.assert_allclose(b_scores, s_scores, rtol=1e-4, atol=1e-5)
+        for j, ((bp, bs_), (sp, ss)) in enumerate(
+            zip(results[pid], sequential[pid])
+        ):
+            gap_above = j == 0 or s_scores[j - 1] - ss > 1e-4
+            gap_below = j == len(s_scores) - 1 or ss - s_scores[j + 1] > 1e-4
+            if gap_above and gap_below:  # not in a tie cluster
+                assert bp == sp
+    st = b.stats()
+    assert st["queries"] == len(golds)
+    # 300 ms window vs sub-ms submissions: must have coalesced
+    assert st["dispatches"] < len(golds)
+
+
+def test_max_batch_bounds_each_dispatch(retriever):
+    """No dispatch exceeds max_batch even when more requests are queued."""
+    with BatchingRetriever(retriever, max_batch=2, max_wait_ms=100.0) as b:
+        futs = [b.submit(_passage_text(p)) for p in (5, 9, 14, 20, 26)]
+        for f in futs:
+            assert f.result(timeout=60)[0][1] > 0
+    st = b.stats()
+    assert st["dispatches"] >= 3  # ceil(5 / 2)
+    assert all(size <= 2 for size in st["batch_histogram"])
+
+
+def test_per_request_k_and_threaded_submit(retriever):
+    """k slices the shared compiled top_k per request; submissions from
+    many threads are safe and padding buckets return clean results."""
+    out = {}
+
+    def ask(pid, k):
+        out[(pid, k)] = b.retrieve(_passage_text(pid), k=k)
+
+    with BatchingRetriever(retriever, max_batch=8, max_wait_ms=200.0) as b:
+        threads = [
+            threading.Thread(target=ask, args=(pid, k))
+            for pid, k in [(7, 1), (11, 3), (19, 5)]
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    for (pid, k), hits in out.items():
+        assert len(hits) == k
+        assert hits[0][0] == pid
+        seq = retriever.retrieve(_passage_text(pid), k=k)
+        assert [p for p, _ in hits] == [p for p, _ in seq]
+
+
+def test_k_above_compiled_top_k_rejected(retriever):
+    with BatchingRetriever(retriever, max_batch=4) as b:
+        with pytest.raises(ValueError, match="top_k"):
+            b.submit(_passage_text(3), k=50)
+
+
+def test_dispatch_failure_propagates_to_all_waiters(retriever):
+    """A worker-side exception resolves every queued future instead of
+    hanging its callers."""
+    b = BatchingRetriever(retriever, max_batch=4, max_wait_ms=200.0)
+    original = retriever.search
+    try:
+        def boom(*a, **kw):
+            raise RuntimeError("injected search failure")
+
+        retriever.search = boom
+        futs = [b.submit(_passage_text(p)) for p in (4, 6, 10)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="injected search failure"):
+                f.result(timeout=60)
+    finally:
+        retriever.search = original
+        b.close()
+
+
+def test_close_rejects_new_submits(retriever):
+    b = BatchingRetriever(retriever, max_batch=2)
+    b.close()
+    b.close()  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(_passage_text(3))
