@@ -440,6 +440,74 @@ def bench_e2e(jax, jnp):
     }
 
 
+def bench_e2e_batch(jax, jnp):
+    """BENCH_E2E_BATCH=1: end-to-end COALESCED serving throughput — the
+    number behind serve.BatchingRetriever.  One dispatch carries a B=64
+    micro-batch (the frontend's coalesced bucket) through the full
+    serving compute path: 64 conversational 512-token query forwards
+    (bf16, fused attention) + one fused top-100 search over the resident
+    2.5M block.  Single-stream serving is encoder-bound (BENCH_E2E:
+    encode 3.56 of 6.86 ms), and the encoder is batch-flat, so the
+    coalesced path should multiply QPS by ~B at roughly the single-query
+    latency + the batch window.
+
+    vs_baseline: against the same 16 ms-per-query reference e2e pin as
+    BENCH_E2E (faiss single block + V100-class B=1 torch forward, which
+    has no batching frontend to amortize it) = 62.5 QPS.
+    """
+    from haconvdr_tpu.config import ModelConfig
+    from haconvdr_tpu.models.encoder import (
+        encode,
+        init_encoder_params,
+        stack_layer_params,
+    )
+    from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
+
+    BASELINE_QPS = 1000.0 / 16.0
+    B, L = 64, 512
+    use_bf16 = bool(os.environ.get("BENCH_BF16"))
+    idx_dtype = jnp.bfloat16 if use_bf16 else jnp.int8
+    mcfg = ModelConfig(dtype="bfloat16")
+    params = stack_layer_params(init_encoder_params(jax.random.PRNGKey(0), mcfg))
+
+    n_pad = -(-N_PASSAGES // 2048) * 2048
+    if idx_dtype == jnp.int8:
+        passages = _gen_int8_corpus(jax, jnp, n_pad)
+    else:
+        passages = jax.random.normal(jax.random.PRNGKey(1), (n_pad, DIM), idx_dtype)
+    nv = jnp.int32(N_PASSAGES)
+
+    reps = 10
+    import jax as _jax
+
+    @_jax.jit
+    def e2e_batch(params, passages, key):
+        def body(c, k):
+            ids = jax.random.randint(k, (B, L), 2, 50000, jnp.int32)
+            mask = jnp.ones((B, L), jnp.int32)
+            q = encode(params, mcfg, ids, mask).astype(jnp.bfloat16)
+            s, i = pallas_topk_block(q, passages, nv, TOP_K)
+            return c + s[0, 0].astype(jnp.float32) * 0, s[:1, :1]
+
+        _, outs = _jax.lax.scan(body, jnp.float32(0), jax.random.split(key, reps))
+        return outs
+
+    np.asarray(jax.device_get(e2e_batch(params, passages, jax.random.PRNGKey(2))))
+    t0 = time.time()
+    np.asarray(jax.device_get(e2e_batch(params, passages, jax.random.PRNGKey(3))))
+    batch_ms = (time.time() - t0) / reps * 1000.0
+    qps = B / (batch_ms / 1000.0)
+    return {
+        "metric": "serve_e2e_batched_qps_B64_2.5M"
+        + ("_bf16" if use_bf16 else "_int8"),
+        "value": round(qps, 1),
+        "unit": "QPS",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "batch_ms": round(batch_ms, 2),
+        "per_query_ms": round(batch_ms / B, 3),
+    }
+
+
 def bench_ivf(jax, jnp):
     """BENCH_IVF=1: cluster-pruned online serving (index/ivf.py) at 2.5M.
     Data is a CLUSTERED mixture generated on device (IVF's regime; with
@@ -541,6 +609,7 @@ def main():
         "train": bench_train,
         "encode": bench_encode,
         "e2e": bench_e2e,
+        "e2e_batch": bench_e2e_batch,
     }
     on_tpu = jax.devices()[0].platform == "tpu"
 
@@ -565,6 +634,7 @@ def main():
             ("train", {"BENCH_TRAIN": "1"}),
             ("encode", {"BENCH_ENCODE": "1"}),
             ("e2e", {"BENCH_E2E": "1"}),
+            ("e2e-batch", {"BENCH_E2E_BATCH": "1"}),
         ]
         if on_tpu:
             for name, extra in env_modes:

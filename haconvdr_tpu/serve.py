@@ -374,6 +374,11 @@ class BatchingRetriever:
         self.max_wait_ms = float(max_wait_ms)
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self._closed = threading.Event()
+        # serializes the closed-check-then-enqueue in submit() against
+        # close() setting the flag, so the shutdown sentinel is provably
+        # the LAST item ever enqueued (no request can slip in behind it
+        # and hang its caller)
+        self._submit_gate = threading.Lock()
         self._lock = threading.Lock()
         self._n_queries = 0
         self._n_dispatches = 0
@@ -392,8 +397,6 @@ class BatchingRetriever:
         k: Optional[int] = None,
     ) -> Future:
         """Enqueue one conversational query; resolves to [(pid, score)]."""
-        if self._closed.is_set():
-            raise RuntimeError("BatchingRetriever is closed")
         k = k or self.retriever.search_cfg.top_k
         if k > self.retriever.search_cfg.top_k:
             raise ValueError(
@@ -402,7 +405,10 @@ class BatchingRetriever:
             )
         ex = self.retriever.build_query(question, history, history_passages)
         fut: Future = Future()
-        self._q.put(_Request(ex, int(k), fut))
+        with self._submit_gate:
+            if self._closed.is_set():
+                raise RuntimeError("BatchingRetriever is closed")
+            self._q.put(_Request(ex, int(k), fut))
         with self._lock:
             self._n_queries += 1
         return fut
@@ -422,13 +428,15 @@ class BatchingRetriever:
 
     def close(self) -> None:
         """Drain in-flight work, then stop the worker.  Idempotent."""
-        if self._closed.is_set():
-            return
-        self._closed.set()
+        with self._submit_gate:
+            if self._closed.is_set():
+                return
+            self._closed.set()
+        # the gate guarantees no request is enqueued after this sentinel,
+        # so the worker drains every accepted request before exiting
         self._q.put(_SHUTDOWN)
         self._worker.join()
-        # anything enqueued after the sentinel (submit/close race) fails
-        # loudly rather than hanging its caller
+        # belt-and-braces: nothing should remain, but never hang a caller
         while True:
             try:
                 item = self._q.get_nowait()
