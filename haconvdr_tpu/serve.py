@@ -460,6 +460,23 @@ class BatchingRetriever:
                 first = self._q.get(timeout=0.05)
             except queue.Empty:
                 if self._closed.is_set():
+                    # close() was observed between the timeout and this
+                    # check; a request accepted just before the flag flipped
+                    # may still sit in the queue ahead of the sentinel —
+                    # drain and DISPATCH it (close() promises to drain
+                    # in-flight work, not error it)
+                    tail: List[_Request] = []
+                    while True:
+                        try:
+                            item = self._q.get_nowait()
+                        except queue.Empty:
+                            break
+                        if item is _SHUTDOWN:
+                            break
+                        tail.append(item)
+                    while tail:
+                        self._dispatch(tail[: self.max_batch])
+                        tail = tail[self.max_batch :]
                     return
                 continue
             if first is _SHUTDOWN:
@@ -488,6 +505,10 @@ class BatchingRetriever:
         bucket = 1
         while bucket < n:
             bucket *= 2
+        # honor the documented cap: with a non-power-of-two max_batch the
+        # pow2 round-up of a full batch would overshoot it (n <= max_batch
+        # always, so the cap never truncates below n)
+        bucket = min(bucket, self.max_batch)
         with self._lock:
             self._n_dispatches += 1
             self._batch_hist[n] = self._batch_hist.get(n, 0) + 1
@@ -505,14 +526,19 @@ class BatchingRetriever:
                 embs = np.concatenate([embs, pad], axis=0)
             scores, ids = r.search(embs)
             for i, req in enumerate(batch):
+                # slice to req.k BEFORE the validity filter so per-request
+                # k returns exactly what the sequential Retriever.retrieve
+                # path would (no backfill from beyond rank k); a cancelled
+                # future must not poison its batchmates, so claim it first
                 hits = [
                     (int(p), float(s))
-                    for p, s in zip(ids[i], scores[i])
+                    for p, s in zip(ids[i][: req.k], scores[i][: req.k])
                     if p >= 0
-                ][: req.k]
-                req.future.set_result(hits)
+                ]
+                if req.future.set_running_or_notify_cancel():
+                    req.future.set_result(hits)
         except Exception as e:  # surface the failure on every waiter
             logger.exception("batched dispatch failed (%d queries)", n)
             for req in batch:
-                if not req.future.done():
+                if not req.future.done() and req.future.set_running_or_notify_cancel():
                     req.future.set_exception(e)

@@ -169,6 +169,71 @@ def test_dispatch_failure_propagates_to_all_waiters(retriever):
         b.close()
 
 
+def test_cancelled_future_does_not_poison_batchmates(retriever):
+    """fut.cancel() on a queued request must not fail the other requests
+    coalesced into the same dispatch (the set_result on a cancelled future
+    would raise InvalidStateError and the except-path would re-error every
+    not-yet-resolved batchmate)."""
+    with BatchingRetriever(retriever, max_batch=8, max_wait_ms=300.0) as b:
+        victim = b.submit(_passage_text(3))
+        mates = [b.submit(_passage_text(p)) for p in (17, 25)]
+        assert victim.cancel()  # still queued: cancel succeeds
+        for pid, fut in zip((17, 25), mates):
+            hits = fut.result(timeout=60)
+            assert hits[0][0] == pid
+    assert victim.cancelled()
+
+
+def test_non_pow2_max_batch_caps_bucket(retriever):
+    """The pow2 bucket round-up is capped at max_batch (docstring contract):
+    a full batch of 5 with max_batch=5 dispatches at shape 5, not 8."""
+    seen_shapes = []
+    original = retriever.search
+
+    def spy(embs, k=None):
+        seen_shapes.append(embs.shape[0])
+        return original(embs, k)
+
+    retriever.search = spy
+    try:
+        with BatchingRetriever(retriever, max_batch=5, max_wait_ms=300.0) as b:
+            futs = [b.submit(_passage_text(p)) for p in (5, 9, 14, 20, 26)]
+            for pid, f in zip((5, 9, 14, 20, 26), futs):
+                assert f.result(timeout=60)[0][0] == pid
+    finally:
+        retriever.search = original
+    assert all(s <= 5 for s in seen_shapes), seen_shapes
+
+
+def test_close_dispatches_requests_accepted_before_flag(retriever):
+    """close() drains in-flight work: a request enqueued just before the
+    closed flag flips is dispatched, not errored."""
+    # deterministic interleaving: stall the worker inside a dispatch while
+    # we enqueue + close, so the tail request is drained by either the
+    # sentinel path or the closed-flag path — both must RESOLVE it
+    release = threading.Event()
+    original = retriever.search
+
+    def slow(embs, k=None):
+        release.wait(timeout=30)
+        return original(embs, k)
+
+    b = BatchingRetriever(retriever, max_batch=1, max_wait_ms=1.0)
+    retriever.search = slow
+    try:
+        f1 = b.submit(_passage_text(7))
+        f2 = b.submit(_passage_text(11))  # queued behind the stalled dispatch
+        release.set()
+        retriever.search = original
+        b.close()
+        assert f1.result(timeout=60)[0][0] == 7
+        assert f2.result(timeout=60)[0][0] == 11
+    finally:
+        retriever.search = original
+        release.set()
+        b.close()
+
+
 def test_close_rejects_new_submits(retriever):
     b = BatchingRetriever(retriever, max_batch=2)
     b.close()
