@@ -4,7 +4,7 @@ Stage 1: correctness at small shapes (dropout determinism, keep-rate,
 finite-difference grads through a fixed seed).
 Stage 2: kernel fwd+bwd at the trained-tower geometry (B=64, L=512,
 H=768, 12 heads, bf16, drop 0.1) — lowering + VMEM check.
-Run: timeout 1800 python .probe_flash.py [stage]
+Run: timeout 1800 python probes/probe_flash.py [stage]
 """
 import sys
 import time

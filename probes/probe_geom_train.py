@@ -1,5 +1,5 @@
 """Probe: geometry-check training recipe at full 12L/768 scale.
-Usage: python .probe_geom_train.py [steps] [lr] [warmup]
+Usage: python probes/probe_geom_train.py [steps] [lr] [warmup]
 (Findings so far: pure in-batch CE from random init is unescapable —
 exact collapse is a zero-gradient stationary point; aux topic-cls head
 at lr 1e-3 is UNSTABLE at 12L (cls loss drifts up from ln(2000));

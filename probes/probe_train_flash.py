@@ -6,7 +6,7 @@ dropout on, bf16 compute + bf16 frozen towers, stacked/scanned layers.
 Timing: N steps inside one lax.scan dispatch (pure device time; avoids the
 dev relay's unstable per-dispatch latency).
 
-Run: timeout 3600 python .probe_train_flash.py A B C
+Run: timeout 3600 python probes/probe_train_flash.py A B C
   A = flash OFF (r3 baseline, expect ~453 ms/step)
   B = flash ON, remat on
   C = flash ON, remat off
