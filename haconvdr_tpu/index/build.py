@@ -245,6 +245,19 @@ def encode_corpus(
         while len(inflight) > limit:
             emb_dev, offs, n = inflight.popleft()
             emb = np.asarray(emb_dev)[:n]
+            if emb.ndim == 3:
+                # multi-chunk long-sequence output [B, n_chunks, D]: one
+                # row per chunk, all carrying the passage's offset, in the
+                # reference's chunk-major order (gen_doc_embeddings.py:
+                # 115-121 appends (idxs, embs[:, chunk_no, :]) per chunk);
+                # downstream pid-dedup keeps each passage's best chunk
+                # (test_HAConvDR_topiocqa.py:249-255)
+                n_chunks = emb.shape[1]
+                emb = np.ascontiguousarray(emb.transpose(1, 0, 2)).reshape(
+                    n_chunks * n, emb.shape[2]
+                )
+                offs = np.tile(offs, n_chunks)
+                n = n_chunks * n
             if dtype is not None and emb.dtype != dtype:
                 emb = emb.astype(dtype)
             emb_buf.append(emb)

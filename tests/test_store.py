@@ -144,3 +144,46 @@ def test_encode_corpus_bfloat16_store(tmp_path, rng):
     )
     emb, ids = store.read_block(0)
     assert emb.dtype == ml_dtypes.bfloat16
+
+
+def test_encode_corpus_multi_chunk_output(tmp_path, rng):
+    """An encoder emitting [B, n_chunks, D] (long-sequence multi-chunk
+    output, gen_doc_embeddings.py:115-121) stores one row per chunk, all
+    carrying the passage's offset, in the reference's chunk-major order."""
+    from haconvdr_tpu.index.build import encode_corpus
+
+    w = TokenizedCorpusWriter(str(tmp_path / "c"), max_seq_length=4)
+    for pid in range(6):
+        w.add(pid + 100, [1 + pid, 2])
+    w.finalize()
+    corpus = TokenizedCorpus(str(tmp_path / "c"))
+
+    D, n_chunks = 3, 2
+
+    def chunked_fn(params, ids, mask):
+        import jax.numpy as jnp
+
+        b = ids.shape[0]
+        base = jnp.arange(b, dtype=jnp.float32)[:, None, None]
+        chunk = jnp.arange(n_chunks, dtype=jnp.float32)[None, :, None]
+        return (
+            base * 10.0
+            + chunk
+            + jnp.zeros((b, n_chunks, D))
+            + ids[:, :1, None].astype(jnp.float32) * 100.0
+        )
+
+    store = encode_corpus(
+        corpus, chunked_fn, None, str(tmp_path / "e"), batch_size=4,
+        per_block_passage_num=100,
+    )
+    emb, offs = store.read_block(0)
+    # 6 passages over batches of 4 (4 + tail 2) -> 2 chunks each = 12 rows
+    assert emb.shape == (6 * n_chunks, D)
+    # per drained batch: chunk-major rows, offsets tiled per chunk
+    np.testing.assert_array_equal(offs, [0, 1, 2, 3, 0, 1, 2, 3, 4, 5, 4, 5])
+    # chunk identity survives in the stored values (row = token*100 + b*10 + chunk)
+    first_tok = corpus.tokens[:, 0].astype(np.float32)
+    expect_b0 = [first_tok[o] * 100 + (i % 4) * 10 for i, o in enumerate(offs[:4])]
+    np.testing.assert_allclose(emb[:4, 0], expect_b0)
+    np.testing.assert_allclose(emb[4:8, 0], np.asarray(expect_b0) + 1.0)
