@@ -100,6 +100,13 @@ class ModelConfig:
     # time).  Default ON: it gates itself off-TPU, under attention-probs
     # dropout, and at unsupported shapes (exact XLA attention fallback).
     use_flash_attention: bool = True
+    # fused residual+LayerNorm Pallas kernel (TPU, inference towers only):
+    # one HBM pass instead of XLA's separate residual-add + multi-pass LN
+    # fusions — the 25 LN passes are the measured non-matmul tail of the
+    # corpus-encode step (probes/probe_encode_bisect.py).  Gates itself
+    # off-TPU, on trainable/dropout towers (no custom VJP), and at
+    # unsupported shapes.
+    use_fused_ln: bool = True
     # rematerialization in the backward pass (jax.checkpoint):
     #   True  — checkpoint each transformer layer: trades ~30% recompute
     #           for dropping the O(B H L^2) saved attention probs; needed

@@ -111,7 +111,9 @@ def _acc_dtype(dtype):
     return jnp.promote_types(dtype, jnp.float32)
 
 
-def _dense(x: jax.Array, p: Dict[str, jax.Array], dtype, out_dtype=None) -> jax.Array:
+def _dense(
+    x: jax.Array, p: Dict[str, jax.Array], dtype, out_dtype=None, prequant=None
+) -> jax.Array:
     k = p["kernel"]
     if k.dtype == jnp.int8:
         # int8 x int8 MXU dense (quantize_encoder_params): weights are
@@ -120,12 +122,18 @@ def _dense(x: jax.Array, p: Dict[str, jax.Array], dtype, out_dtype=None) -> jax.
         # matmul runs the MXU at 2x the bf16 rate with exact int32
         # accumulation; |dot| <= 3072*127^2 = 49.5M << 2^31, and the
         # int32 -> f32 cast error is <= 2^-24 relative).  Dequant =
-        # act_scale/127 x w_scale per (row, out-channel).
-        xf = x.astype(jnp.float32)
-        xs = jnp.maximum(
-            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-30
-        )
-        xq = jnp.clip(jnp.round(xf / xs * 127.0), -127, 127).astype(jnp.int8)
+        # act_scale/127 x w_scale per (row, out-channel).  ``prequant``
+        # = (xq int8, xs f32[..., 1]) skips the quantize: the producing
+        # fused LN kernel (ops/fused_ln.fused_residual_ln_quant) already
+        # emitted it in the same HBM pass that wrote x.
+        if prequant is not None:
+            xq, xs = prequant
+        else:
+            xf = x.astype(jnp.float32)
+            xs = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-30
+            )
+            xq = jnp.clip(jnp.round(xf / xs * 127.0), -127, 127).astype(jnp.int8)
         y = jnp.dot(xq, k, preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * (xs / 127.0) * p["kernel_scale"]
         y = y + p["bias"]
@@ -186,7 +194,7 @@ def _dropout(x, rate, rng):
 
 def _attention(
     x, mask_bias, p, num_heads, dtype, attn_drop=0.0, rng=None,
-    use_flash=False, attention_mask=None, trainable=False,
+    use_flash=False, attention_mask=None, trainable=False, x_prequant=None,
 ):
     B, L, H = x.shape
     d = H // num_heads
@@ -211,7 +219,7 @@ def _attention(
                 p["value"]["kernel_scale"],
             ]
         )
-    qkv = _dense(x, qkv_p, dtype, out_dtype=dtype)
+    qkv = _dense(x, qkv_p, dtype, out_dtype=dtype, prequant=x_prequant)
 
     from haconvdr_tpu.ops.fused_attention import fused_attention_supported
 
@@ -315,23 +323,87 @@ def encoder_hidden_states(
     # dtype=bf16); LN internals run f32 regardless
     carry_dtype = jnp.promote_types(dtype, jnp.bfloat16)
 
+    # fused residual+LN(+quant) kernel (ops/fused_ln.py).  Inference
+    # towers only (no custom VJP) — exactly the frozen/corpus path where
+    # the reference's gen_doc_embeddings hot loop spends its hours.  On
+    # int8 towers the kernel ALSO emits each LN output's dynamic per-token
+    # int8 quantization (its sole consumer is the next int8 dense), so the
+    # carry through the layer scan becomes (x, xq, xs) and the qkv/
+    # intermediate denses skip their abs-max + quantize passes — the
+    # measured non-matmul tail of the encode step
+    # (probes/probe_encode_bisect.py, probes/probe_fused_ln_tpu.py).
+    # Plain fused LN WITHOUT the quant tail measured neutral-to-negative
+    # (0.983x: the pallas_call fusion barrier gives back what the single
+    # HBM pass saves), so the kernel engages only when the quant fusion
+    # applies.
+    B, L = input_ids.shape
+    first_kernel = (
+        layers["attention"]["query"]["kernel"]
+        if stacked
+        else layers[0]["attention"]["query"]["kernel"]
+    )
+    use_fused_quant = (
+        getattr(cfg, "use_fused_ln", True)
+        and not trainable
+        and dropout_rng is None
+        and carry_dtype == jnp.bfloat16
+        and first_kernel.dtype == jnp.int8
+    )
+    if use_fused_quant:
+        from haconvdr_tpu.ops.fused_ln import fused_ln_supported
+
+        use_fused_quant = fused_ln_supported(
+            (B, L, cfg.hidden_size), cfg.hidden_size
+        )
+
+    def _res_ln(x, branch_out, p):
+        """(LayerNorm(x + branch_out), prequant) in the carry dtype.  The
+        fused path casts the branch output to the carry dtype FIRST (XLA
+        folds that cast into the producing matmul's epilogue, halving the
+        kernel's residual read) — the same add-in-carry-dtype the unfused
+        ``x + out.astype(x.dtype)`` performs."""
+        if use_fused_quant:
+            from haconvdr_tpu.ops.fused_ln import fused_residual_ln_quant
+
+            y, yq, ys = fused_residual_ln_quant(
+                x, branch_out.astype(x.dtype), p["scale"], p["bias"],
+                eps=cfg.layer_norm_eps, out_dtype=carry_dtype,
+            )
+            return y, (yq, ys)
+        return _layer_norm(
+            x + branch_out.astype(x.dtype), p, cfg.layer_norm_eps,
+            out_dtype=carry_dtype,
+        ), None
+
     x = (
         emb["word_embeddings"][input_ids]
         + emb["position_embeddings"][position_ids]
         + emb["token_type_embeddings"][jnp.zeros_like(input_ids)]
     )
-    x = _layer_norm(x, emb["layer_norm"], cfg.layer_norm_eps, out_dtype=carry_dtype)
+    if use_fused_quant:
+        from haconvdr_tpu.ops.fused_ln import fused_residual_ln_quant
+
+        x, eq, es = fused_residual_ln_quant(
+            x, None, emb["layer_norm"]["scale"], emb["layer_norm"]["bias"],
+            eps=cfg.layer_norm_eps, out_dtype=carry_dtype,
+        )
+        x_pq = (eq, es)
+    else:
+        x = _layer_norm(
+            x, emb["layer_norm"], cfg.layer_norm_eps, out_dtype=carry_dtype
+        )
+        x_pq = None
     x = _dropout(x, hd, emb_key)
 
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
-    def mlp_fn(x, layer, rng_c):
-        inter = _gelu(_dense(x, layer["intermediate"], dtype, out_dtype=dtype), dtype)
-        out = _dropout(_dense(inter, layer["output"], dtype), hd, rng_c)
-        return _layer_norm(
-            x + out.astype(x.dtype), layer["output_layer_norm"], cfg.layer_norm_eps,
-            out_dtype=carry_dtype,
+    def mlp_fn(x, x_pq, layer, rng_c):
+        inter = _gelu(
+            _dense(x, layer["intermediate"], dtype, out_dtype=dtype, prequant=x_pq),
+            dtype,
         )
+        out = _dropout(_dense(inter, layer["output"], dtype), hd, rng_c)
+        return _res_ln(x, out, layer["output_layer_norm"])
 
     if cfg.remat == "mlp":
         # MLP-only remat: with flash attention the attention backward
@@ -343,20 +415,17 @@ def encoder_hidden_states(
         # two dense matmuls in the backward.
         mlp_fn = jax.checkpoint(mlp_fn)
 
-    def layer_fn(x, layer, rng_a, rng_b, rng_c):
+    def layer_fn(x, x_pq, layer, rng_a, rng_b, rng_c):
         attn_out = _attention(
             x, mask_bias, layer["attention"], cfg.num_attention_heads, dtype,
             attn_drop=ad, rng=rng_a,
             use_flash=cfg.use_flash_attention,
             attention_mask=attention_mask, trainable=trainable,
+            x_prequant=x_pq,
         )
         attn_out = _dropout(attn_out, hd, rng_b)
-        x = _layer_norm(
-            x + attn_out.astype(x.dtype),
-            layer["attention"]["output_layer_norm"], cfg.layer_norm_eps,
-            out_dtype=carry_dtype,
-        )
-        return mlp_fn(x, layer, rng_c)
+        x, x_pq = _res_ln(x, attn_out, layer["attention"]["output_layer_norm"])
+        return mlp_fn(x, x_pq, layer, rng_c)
 
     if cfg.remat and cfg.remat != "mlp":
         layer_fn = jax.checkpoint(layer_fn)
@@ -367,24 +436,26 @@ def encoder_hidden_states(
         # programs for base-size training (see stack_layer_params)
         if layer_keys is not None:
 
-            def body(x, xs):
+            def body(carry, xs):
                 layer, lk = xs
-                return layer_fn(x, layer, lk[0], lk[1], lk[2]), None
+                return layer_fn(*carry, layer, lk[0], lk[1], lk[2]), None
 
-            x, _ = jax.lax.scan(body, x, (layers, layer_keys))
+            (x, x_pq), _ = jax.lax.scan(body, (x, x_pq), (layers, layer_keys))
         else:
 
-            def body(x, layer):
-                return layer_fn(x, layer, None, None, None), None
+            def body(carry, layer):
+                return layer_fn(*carry, layer, None, None, None), None
 
-            x, _ = jax.lax.scan(body, x, layers)
+            (x, x_pq), _ = jax.lax.scan(body, (x, x_pq), layers)
         return x
 
     for li, layer in enumerate(layers):
         if layer_keys is not None:
-            x = layer_fn(x, layer, layer_keys[li, 0], layer_keys[li, 1], layer_keys[li, 2])
+            x, x_pq = layer_fn(
+                x, x_pq, layer, layer_keys[li, 0], layer_keys[li, 1], layer_keys[li, 2]
+            )
         else:
-            x = layer_fn(x, layer, None, None, None)
+            x, x_pq = layer_fn(x, x_pq, layer, None, None, None)
     return x
 
 
