@@ -100,13 +100,20 @@ class ModelConfig:
     # time).  Default ON: it gates itself off-TPU, under attention-probs
     # dropout, and at unsupported shapes (exact XLA attention fallback).
     use_flash_attention: bool = True
-    # fused residual+LayerNorm Pallas kernel (TPU, inference towers only):
-    # one HBM pass instead of XLA's separate residual-add + multi-pass LN
-    # fusions — the 25 LN passes are the measured non-matmul tail of the
-    # corpus-encode step (probes/probe_encode_bisect.py).  Gates itself
-    # off-TPU, on trainable/dropout towers (no custom VJP), and at
-    # unsupported shapes.
+    # fused residual+LayerNorm+int8-quant Pallas kernel (TPU, int8
+    # inference towers only): each LN output and its dynamic per-token
+    # int8 quantization (the next int8 dense's input) in one HBM pass —
+    # the LN passes + quantize passes are the measured non-matmul tail of
+    # the corpus-encode step (probes/probe_encode_bisect_int8.py).  Gates
+    # itself off-TPU, on trainable/dropout/bf16-weight towers (no custom
+    # VJP; plain LN-only fusion measured neutral, NOTES.md round 4), and
+    # at unsupported shapes.
     use_fused_ln: bool = True
+    # fully-fused int8 MLP-block kernel (ops/fused_mlp.py): dense -> gelu
+    # -> quant -> dense -> residual -> LN -> quant with both weight
+    # matrices VMEM-resident; the [B*L, intermediate] tensor never
+    # touches HBM.  Same gates as use_fused_ln (requires it).
+    use_fused_mlp: bool = True
     # rematerialization in the backward pass (jax.checkpoint):
     #   True  — checkpoint each transformer layer: trades ~30% recompute
     #           for dropping the O(B H L^2) saved attention probs; needed

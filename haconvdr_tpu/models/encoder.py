@@ -355,6 +355,17 @@ def encoder_hidden_states(
         use_fused_quant = fused_ln_supported(
             (B, L, cfg.hidden_size), cfg.hidden_size
         )
+    # fully-fused int8 MLP block (ops/fused_mlp.py): both weight matrices
+    # VMEM-resident, the [B*L, intermediate] tensor never touches HBM —
+    # replaces intermediate dense + gelu + dynamic quant + output dense +
+    # the residual+LN+quant kernel for the whole mlp_fn
+    use_fused_mlp = use_fused_quant and getattr(cfg, "use_fused_mlp", True)
+    if use_fused_mlp:
+        from haconvdr_tpu.ops.fused_mlp import fused_mlp_supported
+
+        use_fused_mlp = fused_mlp_supported(
+            B * L, cfg.hidden_size, cfg.intermediate_size
+        )
 
     def _res_ln(x, branch_out, p):
         """(LayerNorm(x + branch_out), prequant) in the carry dtype.  The
@@ -398,6 +409,22 @@ def encoder_hidden_states(
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -1e9
 
     def mlp_fn(x, x_pq, layer, rng_c):
+        if use_fused_mlp:
+            from haconvdr_tpu.ops.fused_mlp import fused_mlp_block
+
+            y, yq, ys = fused_mlp_block(
+                x, x_pq[0], x_pq[1],
+                layer["intermediate"]["kernel"],
+                layer["intermediate"]["kernel_scale"],
+                layer["intermediate"]["bias"],
+                layer["output"]["kernel"],
+                layer["output"]["kernel_scale"],
+                layer["output"]["bias"],
+                layer["output_layer_norm"]["scale"],
+                layer["output_layer_norm"]["bias"],
+                eps=cfg.layer_norm_eps, out_dtype=carry_dtype,
+            )
+            return y, (yq, ys)
         inter = _gelu(
             _dense(x, layer["intermediate"], dtype, out_dtype=dtype, prequant=x_pq),
             dtype,
