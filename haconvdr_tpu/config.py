@@ -241,6 +241,36 @@ class BM25Config:
 
 
 @dataclass
+class ServeConfig:
+    """Online serving daemon (serve_http.RetrievalServer over
+    serve.BatchingRetriever) — beyond-reference surface: the reference has
+    no serving layer at all (retrieval exists only as batch eval scripts,
+    src/test_HAConvDR_topiocqa.py)."""
+
+    host: str = "127.0.0.1"
+    port: int = 8080
+    # coalescing window: the worker dispatches when max_batch requests are
+    # queued or the oldest has waited max_wait_ms (serve.BatchingRetriever)
+    max_batch: int = 64
+    max_wait_ms: float = 2.0
+    # index residency (serve.Retriever): resident=True loads the store
+    # into device HBM; ivf=True builds/loads the cluster-pruned index —
+    # the LATENCY tier (single-query ~1 ms vs ~4-6 ms flat at 2.5M); keep
+    # ivf=False for the THROUGHPUT tier (the flat scan's matmul amortizes
+    # the corpus stream across a coalesced batch, IVF's per-query bucket
+    # gathers do not — see BASELINE.md's batched-IVF crossover row)
+    resident: bool = True
+    ivf: bool = False
+    ivf_nlist: int = 1024
+    ivf_nprobe: int = -1  # -1: library default
+    ivf_dir: str = ""  # persist/reload the built IVF index
+    store_dtype: str = "float32"  # residency dtype: float32|bfloat16|int8
+    checkpoint_path: str = ""  # trained query-encoder checkpoint
+    embeddings_dir: str = ""  # EmbeddingBlockStore directory
+    offset2pid_path: str = ""  # optional offset->pid map (pickle/json)
+
+
+@dataclass
 class ExperimentConfig:
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
@@ -248,11 +278,12 @@ class ExperimentConfig:
     index: IndexConfig = field(default_factory=IndexConfig)
     search: SearchConfig = field(default_factory=SearchConfig)
     bm25: BM25Config = field(default_factory=BM25Config)
+    serve: ServeConfig = field(default_factory=ServeConfig)
 
 
 _BOOL_FIELDS = {
     f.name
-    for cfg in (DataConfig, ModelConfig, TrainConfig, IndexConfig, SearchConfig, BM25Config)
+    for cfg in (DataConfig, ModelConfig, TrainConfig, IndexConfig, SearchConfig, BM25Config, ServeConfig)
     for f in fields(cfg)
     if f.type in ("bool", bool)
 }
