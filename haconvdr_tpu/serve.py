@@ -53,6 +53,18 @@ class Retriever:
     multi-pass corpus build, even onto a different pod shape.  Build a
     second Retriever without ``ivf`` when exact batch evaluation is also
     needed.
+
+    **IVF is the LATENCY tier, not the throughput tier** (measured,
+    BENCH_ALL_r04 rows ivf-batch/ivf-batch-int8 at 2.5M): its per-query
+    probed-bucket gathers do not coalesce across a batch (lax.map one
+    query at a time), so it plateaus at ~1.5k QPS regardless of batch
+    size, while the flat scan's matmul amortizes the corpus stream over
+    the whole batch — 5.5k QPS at B=64 and 37k (bf16) / 57k (int8) at
+    B=2048.  The crossover is at B~8: below it IVF's ~1 ms single-query
+    latency wins; at B>=16 the exact flat scan is both faster AND exact.
+    Composing ``ivf=True`` with ``BatchingRetriever`` at ``max_batch`` >
+    16 therefore costs throughput for no latency benefit —
+    BatchingRetriever warns on that composition.
     """
 
     def __init__(
@@ -369,6 +381,19 @@ class BatchingRetriever:
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if retriever.ivf_index is not None and max_batch > 16:
+            # measured crossover (BENCH_ALL_r04 ivf-batch rows): IVF's
+            # per-query bucket gathers plateau ~1.5k QPS regardless of
+            # batch while the exact flat scan reaches 5.5k at B=64 and
+            # 37-57k at B=2048 — coalescing IVF wastes the batch.  See
+            # the Retriever docstring ("latency tier").
+            logger.warning(
+                "BatchingRetriever(max_batch=%d) over an IVF retriever: "
+                "IVF search does not coalesce across a batch (~1.5k QPS "
+                "plateau); at batch >= 16 the exact flat index is faster "
+                "AND exact.  Use ivf=False for the throughput tier.",
+                max_batch,
+            )
         self.retriever = retriever
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)

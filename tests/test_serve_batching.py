@@ -234,6 +234,34 @@ def test_close_dispatches_requests_accepted_before_flag(retriever):
         b.close()
 
 
+def test_ivf_composition_warns_above_crossover(retriever, caplog):
+    """Coalescing an IVF retriever past the measured B~8-16 crossover
+    (BENCH_ALL_r04 ivf-batch rows: IVF plateaus ~1.5k QPS while the flat
+    scan reaches 37-57k at batch) is a documented anti-pattern — the
+    constructor must say so, and must stay silent for the flat index or
+    latency-tier batch sizes."""
+    import logging
+
+    sentinel = object()  # only `is not None` is consulted
+    retriever.ivf_index, saved = sentinel, retriever.ivf_index
+    try:
+        with caplog.at_level(logging.WARNING, logger="haconvdr_tpu.serve"):
+            BatchingRetriever(retriever, max_batch=64).close()
+        assert any("IVF" in r.message for r in caplog.records)
+
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="haconvdr_tpu.serve"):
+            BatchingRetriever(retriever, max_batch=8).close()
+        assert not any("IVF" in r.message for r in caplog.records)
+    finally:
+        retriever.ivf_index = saved
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="haconvdr_tpu.serve"):
+        BatchingRetriever(retriever, max_batch=64).close()
+    assert not any("IVF" in r.message for r in caplog.records)
+
+
 def test_close_rejects_new_submits(retriever):
     b = BatchingRetriever(retriever, max_batch=2)
     b.close()
