@@ -24,7 +24,8 @@ API (all JSON):
                         p50/p90/p99 request latency (ms)
   GET  /                this usage text
 
-Run: python -m haconvdr_tpu.cli.serve --checkpoint ... --embeddings ...
+Run: python -m haconvdr_tpu.cli.serve serve.checkpoint_path=... \
+         serve.embeddings_dir=... [serve.port=8080 serve.store_dtype=int8 ...]
 """
 
 from __future__ import annotations
