@@ -1,0 +1,183 @@
+"""Leveled in-scan bisection of the v4 INT8 flat search at the benchmark
+shape (N=2.5M, Q=2048, D=768, k=100) — VERDICT r3 weak #3 / next #4:
+where do the ~15 ms between the 35 ms wall and the ~20 ms matmul bound
+actually go, and is 57%-of-bound the practical floor?
+
+Levels, each its OWN jit with a scan of REPS (no eager dispatches in any
+measured loop; the published round-3 breakdown was v3-era):
+
+  L1  window-top-2 panel kernel only (matmul + window stats + panel
+      writes) — the data-oblivious bulk
+  L2  L1 + v_k column-select over the [W, Q] max panel
+  L3  L2 + flag mask + flagged-window select (budget panel)
+  L4  full _v4_search (adds the window rescore + final column-select +
+      id gather) — must reproduce BENCH_FLAT int8
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python probes/probe_v4_int8_bisect.py
+"""
+
+import functools
+import json
+import os
+import subprocess
+import sys
+import time
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".v4_int8_bisect.jsonl")
+LEVEL_NAMES = {"1": "L1 panels", "2": "L2 +v_k", "3": "L3 +flags",
+               "4": "L4 full"}
+
+if not os.environ.get("LEVELS"):
+    # Driver mode — runs BEFORE any jax/TPU init: the relay is
+    # single-tenant and its remote-compile service drops long-lived
+    # connections on these large scan programs (Broken pipe ~30 min in),
+    # so each level gets its OWN process and the persistent compile cache
+    # carries progress across retries.
+    ms = {}
+    if os.path.exists(RESULTS):
+        for line in open(RESULTS):
+            r = json.loads(line)
+            ms[r["name"]] = r["ms"]
+    for lv, name in LEVEL_NAMES.items():
+        if name in ms:
+            print(f"{name:10s}: {ms[name]:6.1f} ms (cached)", flush=True)
+            continue
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=dict(os.environ, LEVELS=lv),
+        )
+        if r.returncode != 0:
+            sys.exit(f"level {lv} failed (rc {r.returncode}); re-run to resume")
+        for line in open(RESULTS):
+            rec = json.loads(line)
+            ms[rec["name"]] = rec["ms"]
+    N, D, Q = 2_500_608, 768, 2048
+    tops = 2 * Q * N * D / 1e12
+    print(f"\nmatmul work {tops:.2f} TOP -> L1 implies "
+          f"{tops / (ms['L1 panels'] / 1e3):.0f} TOP/s of the 394 int8 peak")
+    print(f"selection total = {ms['L4 full'] - ms['L1 panels']:.1f} ms "
+          f"(v_k {ms['L2 +v_k'] - ms['L1 panels']:.1f}, "
+          f"flags {ms['L3 +flags'] - ms['L2 +v_k']:.1f}, "
+          f"rescore+final {ms['L4 full'] - ms['L3 +flags']:.1f})")
+    sys.exit(0)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from haconvdr_tpu.ops.pallas_topk_v4 import (
+    NEG_INF,
+    _v4_search,
+    _window_top2_kernel,
+    pallas_select_topk_t,
+)
+
+assert jax.devices()[0].platform == "tpu"
+
+N, D, Q, K = 2_500_608, 768, 2048, 100  # N % 1024 == 0
+REPS = 4
+P_TILE, Q_TILE, SW = 1024, 256, 128
+N_WIN = P_TILE // SW
+FLUSH = 128 // N_WIN
+N_TILES = N // P_TILE
+WP = -(-N_TILES // FLUSH) * FLUSH * N_WIN
+
+kq, kp = jax.random.split(jax.random.PRNGKey(0))
+passages = jax.random.randint(kp, (N, D), -127, 128, jnp.int8)
+queries = jax.random.randint(kq, (Q, D), -127, 128, jnp.int8)
+nv = jnp.asarray([N], jnp.int32)
+
+
+def run_panels(qpanel, psg):
+    """The window-top-2 pallas_call exactly as _v4_search's run_panel."""
+    QP = qpanel.shape[0]
+    kernel = functools.partial(
+        _window_top2_kernel, pt=P_TILE, qt=Q_TILE, sw=SW, flush=FLUSH
+    )
+    out_spec = pl.BlockSpec((128, QP), lambda j, *_: (j // FLUSH, 0))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N_TILES,),
+            in_specs=[
+                pl.BlockSpec((QP, D), lambda j, *_: (0, 0)),
+                pl.BlockSpec((P_TILE, D), lambda j, *_: (j, 0)),
+            ],
+            out_specs=[out_spec] * 3,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((WP, QP), jnp.float32),
+            jax.ShapeDtypeStruct((WP, QP), jnp.int32),
+            jax.ShapeDtypeStruct((WP, QP), jnp.float32),
+        ],
+    )(nv, qpanel, psg)
+
+
+def panels_full(q, psg):
+    parts = [run_panels(q[c0 : c0 + 1024], psg) for c0 in range(0, Q, 1024)]
+    return tuple(
+        jnp.concatenate([p[i] for p in parts], axis=1) for i in range(3)
+    )
+
+
+# passages/queries are jit ARGUMENTS everywhere — closure capture would
+# bake the 1.9 GB int8 corpus into the lowered program as a constant,
+# which the relay's remote-compile service has to swallow whole (the
+# round-1 attempt died with Broken pipe ~45 min into exactly that)
+def level(stage):
+    @jax.jit
+    def run(q, psg):
+        def body(c, step):
+            qs = q.at[0, 0].set((c.astype(jnp.int32) % 3 - 1).astype(jnp.int8))
+            v1T, a1T, v2T = panels_full(qs, psg)
+            out = v1T[:1, :1]
+            if stage >= 2:
+                v_k = pallas_select_topk_t(v1T, K)[0][:, K - 1]
+                out = v_k[:1, None]
+            if stage >= 3:
+                flagT = (v2T >= v_k[None, :]) & jnp.isfinite(v2T)
+                fw_s, fw = pallas_select_topk_t(
+                    jnp.where(flagT, v2T, NEG_INF), 4
+                )
+                out = fw_s[:1, :1]
+            return c + jnp.sum(out.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
+        return acc
+
+    return run
+
+
+@jax.jit
+def full(q, psg):
+    def body(c, step):
+        qs = q.at[0, 0].set((c.astype(jnp.int32) % 3 - 1).astype(jnp.int8))
+        s, i, nf = _v4_search(qs, psg, jnp.int32(N), K)
+        return c + s[0, 0].astype(jnp.float32), None
+
+    acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
+    return acc
+
+
+def timeit(fn, *a, reps=3):
+    np.asarray(jax.device_get(fn(*a)))
+    t0 = time.time()
+    for _ in range(reps):
+        np.asarray(jax.device_get(fn(*a)))
+    return (time.time() - t0) / reps / REPS * 1e3
+
+
+lv = os.environ["LEVELS"]
+name = LEVEL_NAMES[lv]
+fn = full if lv == "4" else level(int(lv))
+v = timeit(fn, queries, passages)
+with open(RESULTS, "a") as f:
+    f.write(json.dumps({"level": lv, "name": name, "ms": v}) + "\n")
+print(f"{name:10s}: {v:6.1f} ms", flush=True)
