@@ -26,7 +26,15 @@ import time
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        ".v4_int8_bisect.jsonl")
 LEVEL_NAMES = {"1": "L1 panels", "2": "L2 +v_k", "3": "L3 +flags",
-               "4": "L4 full"}
+               "4": "L4 full",
+               # follow-ups: the standalone k=100 select measures 6.0 ms
+               # (probe_select_tune base AND realv1) vs L2-L1 = 13.4 —
+               # these isolate the in-program gap
+               "15": "L1.5 +read",   # panels + concat + max(v1T): is
+               # merely CONSUMING the concat'd panel the cost?
+               "2s": "L2s split",    # panels + per-part selects (query
+               # columns are independent; no [Wp, 2048] concat at all)
+               }
 
 if not os.environ.get("LEVELS"):
     # Driver mode — runs BEFORE any jax/TPU init: the relay is
@@ -136,12 +144,23 @@ def level(stage):
     def run(q, psg):
         def body(c, step):
             qs = q.at[0, 0].set((c.astype(jnp.int32) % 3 - 1).astype(jnp.int8))
+            if stage == "2s":
+                parts = [
+                    run_panels(qs[c0 : c0 + 1024], psg)
+                    for c0 in range(0, Q, 1024)
+                ]
+                vk0 = pallas_select_topk_t(parts[0][0], K)[0][:, K - 1]
+                vk1 = pallas_select_topk_t(parts[1][0], K)[0][:, K - 1]
+                out = (vk0[:1] + vk1[:1])[:, None]
+                return c + jnp.sum(out.astype(jnp.float32)), None
             v1T, a1T, v2T = panels_full(qs, psg)
             out = v1T[:1, :1]
-            if stage >= 2:
+            if stage == "15":
+                out = jnp.max(v1T)[None, None]
+            if isinstance(stage, int) and stage >= 2:
                 v_k = pallas_select_topk_t(v1T, K)[0][:, K - 1]
                 out = v_k[:1, None]
-            if stage >= 3:
+            if isinstance(stage, int) and stage >= 3:
                 flagT = (v2T >= v_k[None, :]) & jnp.isfinite(v2T)
                 fw_s, fw = pallas_select_topk_t(
                     jnp.where(flagT, v2T, NEG_INF), 4
@@ -176,7 +195,7 @@ def timeit(fn, *a, reps=3):
 
 lv = os.environ["LEVELS"]
 name = LEVEL_NAMES[lv]
-fn = full if lv == "4" else level(int(lv))
+fn = full if lv == "4" else level(int(lv) if lv.isdigit() and lv != "15" else lv)
 v = timeit(fn, queries, passages)
 with open(RESULTS, "a") as f:
     f.write(json.dumps({"level": lv, "name": name, "ms": v}) + "\n")
