@@ -244,55 +244,75 @@ def _v4_search(
             interpret=interpret,
         )(nv, panel, passages)
 
-    parts = [run_panel(c0, min(c0 + q_panel, Qp)) for c0 in range(0, Qp, q_panel)]
-    if len(parts) == 1:
-        v1T, a1T, v2T = parts[0]
-    else:
-        v1T, a1T, v2T = (
-            jnp.concatenate([p[i] for p in parts], axis=1) for i in range(3)
-        )
-
     # ---- selection, entirely in the kernel's TRANSPOSED [W, Q] layout —
     # no 160 MB panel transposes (7 ms each), no wide XLA top_k (20+ ms
     # at [2048, ~20k]); the column-select kernel runs the insert
-    # machinery on ~1% of the corpus area (~1-2 ms per selection)
+    # machinery on ~1% of the corpus area (~1-2 ms per selection).
+    #
+    # The pipeline runs PER q-panel part: query columns are independent,
+    # and the round-4 in-scan bisect (probes/probe_v4_int8_bisect.py +
+    # probe_select_tune.py, NOTES.md) showed the k=100 select costs ~6 ms
+    # standalone but 13.4 ms when fed by a [Wp, 2048] concat of the two
+    # panel parts — the three 160 MB panel concats dominated the
+    # "selection" share.  Selecting per part and concatenating only the
+    # [QP, k] outputs removes those concats entirely (and the per-part
+    # [Wp, 1024] select itself measured 4.84 vs 5.96 ms).
     kk = min(k, Wp)
-    v_k = pallas_select_topk_t(v1T, kk, interpret=interpret)[0][:, kk - 1]
-    real_col = (jnp.arange(Qp) < Q)[None, :]  # padded queries: zero rows
-    flagT = (v2T >= v_k[None, :]) & real_col & jnp.isfinite(v2T)
-    n_flag_max = jnp.max(jnp.sum(flagT, axis=0))
 
-    fw_s, fw = pallas_select_topk_t(
-        jnp.where(flagT, v2T, NEG_INF), budget, interpret=interpret
-    )  # [Qp, B] flagged-window row indices
-    fvalid = fw_s > NEG_INF
-    win_ids = jnp.clip(fw, 0, Wp - 1).astype(jnp.int32)  # [Qp, B]
-    starts = win_ids * sw
-    # rescore flagged windows via the scalar-prefetch gather kernel: the
-    # window ids drive the BlockSpec index maps, so each window arrives
-    # as one contiguous [sw, D] DMA (XLA's gather measured ~38 GB/s here)
-    resc = _rescore_windows(
-        passages, queries, win_ids, sw, interpret=interpret
-    ).reshape(Qp, budget, sw)
-    gidx = starts[:, :, None] + jnp.arange(sw, dtype=jnp.int32)
-    rvalid = fvalid[:, :, None] & (gidx < jnp.asarray(n_valid, jnp.int32))
-    rescT = jnp.where(rvalid, resc, NEG_INF).reshape(Qp, budget * sw).T
-    ridxT = jnp.where(rvalid, gidx, -1).reshape(Qp, budget * sw).T
+    def select_part(v1T, a1T, v2T, c0: int):
+        QP = v1T.shape[1]
+        v_k = pallas_select_topk_t(v1T, kk, interpret=interpret)[0][:, kk - 1]
+        # padded queries: zero rows
+        real_col = (c0 + jnp.arange(QP) < Q)[None, :]
+        flagT = (v2T >= v_k[None, :]) & real_col & jnp.isfinite(v2T)
+        n_flag = jnp.max(jnp.sum(flagT, axis=0))
 
-    v1mT = jnp.where(flagT, NEG_INF, v1T)
-    poolT = jnp.concatenate([v1mT, rescT], axis=0)  # [Wp + B*sw, Qp]
-    idsT = jnp.concatenate(
-        [jnp.where(v1mT > NEG_INF, a1T, -1), ridxT], axis=0
-    )
-    top_s, pos = pallas_select_topk_t(poolT, k, interpret=interpret)
-    if top_s.shape[1] < k:  # tiny corpora: pad like the oracle contract
-        padc = k - top_s.shape[1]
-        top_s = jnp.pad(top_s, ((0, 0), (0, padc)), constant_values=NEG_INF)
-        pos = jnp.pad(pos, ((0, 0), (0, padc)))
-    # ids[q, j] = idsT[pos[q, j], q] — a 200k-element gather, not a
-    # full-panel transpose
-    top_i = idsT[pos, jnp.arange(Qp)[:, None]]
-    top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+        fw_s, fw = pallas_select_topk_t(
+            jnp.where(flagT, v2T, NEG_INF), budget, interpret=interpret
+        )  # [QP, B] flagged-window row indices
+        fvalid = fw_s > NEG_INF
+        win_ids = jnp.clip(fw, 0, Wp - 1).astype(jnp.int32)  # [QP, B]
+        starts = win_ids * sw
+        # rescore flagged windows via the scalar-prefetch gather kernel:
+        # the window ids drive the BlockSpec index maps, so each window
+        # arrives as one contiguous [sw, D] DMA (XLA's gather measured
+        # ~38 GB/s here)
+        resc = _rescore_windows(
+            passages, queries[c0 : c0 + QP], win_ids, sw, interpret=interpret
+        ).reshape(QP, budget, sw)
+        gidx = starts[:, :, None] + jnp.arange(sw, dtype=jnp.int32)
+        rvalid = fvalid[:, :, None] & (gidx < jnp.asarray(n_valid, jnp.int32))
+        rescT = jnp.where(rvalid, resc, NEG_INF).reshape(QP, budget * sw).T
+        ridxT = jnp.where(rvalid, gidx, -1).reshape(QP, budget * sw).T
+
+        v1mT = jnp.where(flagT, NEG_INF, v1T)
+        poolT = jnp.concatenate([v1mT, rescT], axis=0)  # [Wp + B*sw, QP]
+        idsT = jnp.concatenate(
+            [jnp.where(v1mT > NEG_INF, a1T, -1), ridxT], axis=0
+        )
+        top_s, pos = pallas_select_topk_t(poolT, k, interpret=interpret)
+        if top_s.shape[1] < k:  # tiny corpora: pad like the oracle contract
+            padc = k - top_s.shape[1]
+            top_s = jnp.pad(
+                top_s, ((0, 0), (0, padc)), constant_values=NEG_INF
+            )
+            pos = jnp.pad(pos, ((0, 0), (0, padc)))
+        # ids[q, j] = idsT[pos[q, j], q] — a 200k-element gather, not a
+        # full-panel transpose
+        top_i = idsT[pos, jnp.arange(QP)[:, None]]
+        top_i = jnp.where(jnp.isfinite(top_s), top_i, -1)
+        return top_s, top_i, n_flag
+
+    outs = [
+        select_part(*run_panel(c0, min(c0 + q_panel, Qp)), c0)
+        for c0 in range(0, Qp, q_panel)
+    ]
+    if len(outs) == 1:
+        top_s, top_i, n_flag_max = outs[0]
+    else:
+        top_s = jnp.concatenate([o[0] for o in outs], axis=0)
+        top_i = jnp.concatenate([o[1] for o in outs], axis=0)
+        n_flag_max = functools.reduce(jnp.maximum, [o[2] for o in outs])
     top_s = top_s[:Q]
     if q_scale is not None:
         # int8 mode: integer scores -> dequantized f32 (-inf stays -inf)

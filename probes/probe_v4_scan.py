@@ -31,9 +31,17 @@ def measure(dtype, qdtype):
         def body(c, i):
             # vary queries per step so XLA can't CSE the scan body
             s, idx, nf = _v4_search(queries + c * 1e-6, passages, jnp.int32(N), K)
-            return c + s[0, 0] * 0, s[:1, :1]
+            # consume EVERY query's scores and ids: a narrow slice would
+            # let XLA dead-code-eliminate the other q-panel parts' whole
+            # sub-pipelines now that selection runs per part
+            sink = (
+                jnp.sum(jnp.where(jnp.isfinite(s), s, 0.0))
+                + jnp.sum(idx).astype(jnp.float32)
+                + nf.astype(jnp.float32)
+            )
+            return c + sink * 1e-30, sink
         c, outs = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
-        return outs
+        return c + jnp.sum(outs)
     np.asarray(jax.device_get(multi(queries, passages)))
     t0 = time.time()
     np.asarray(jax.device_get(multi(queries, passages)))

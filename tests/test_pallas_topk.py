@@ -371,6 +371,36 @@ def test_pallas_v4_matches_oracle(rng):
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
 
 
+def test_pallas_v4_multipart_panels_exact(rng):
+    """Force the q_panel split (Q > q_panel -> two panel parts) so the
+    per-part selection pipeline (round-4 restructure: v_k/flag/rescore/
+    final select run per part, only [QP, k] outputs concatenated) is
+    exercised: results must equal the oracle across the part boundary,
+    including n_valid masking in the second part's columns."""
+    from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
+
+    Q, N, D, k = 256, 1024, 16, 7
+    q = rng.randn(Q, D).astype(np.float32)
+    p = rng.randn(N, D).astype(np.float32)
+    s, i = pallas_topk_block_v4(
+        jnp.asarray(q), jnp.asarray(p), N, k,
+        q_tile=128, q_panel=128, p_tile=256, interpret=True,
+    )
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+    p2 = p.copy()
+    p2[900:] *= 100.0  # padded rows would win in BOTH parts if unmasked
+    s, i = pallas_topk_block_v4(
+        jnp.asarray(q), jnp.asarray(p2), 900, k,
+        q_tile=128, q_panel=128, p_tile=256, interpret=True,
+    )
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p2[:900]), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
 def test_pallas_v4_rescore_path_exact(rng):
     """Force same-window top-k pairs (the flagged-rescore path) by packing
     near-duplicate high-scoring rows into adjacent slots: results must
