@@ -45,10 +45,14 @@ def _sink(jnp, s, i):
     -eliminate whole sub-pipelines; the v4 per-part selection (round 4)
     made that real — with a narrow sink, every q-panel part but the first
     is elided, and the unused id side (idsT concat + gather) always was.
-    Every timed scan body must fold all outputs through this."""
+    Every timed scan body must fold all outputs through this.
+
+    Ids are summed in f32 (not int32): at 2.5M rows the sum of 2048x100
+    ids (~2.6e11) overflows int32 and wraps — deterministic but
+    meaningless (ADVICE r4)."""
     return (
         jnp.sum(jnp.where(jnp.isfinite(s), s, 0.0)).astype(jnp.float32)
-        + jnp.sum(i).astype(jnp.float32)
+        + jnp.sum(i.astype(jnp.float32))
     )
 
 

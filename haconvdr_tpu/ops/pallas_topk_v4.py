@@ -261,7 +261,13 @@ def _v4_search(
 
     def select_part(v1T, a1T, v2T, c0: int):
         QP = v1T.shape[1]
-        v_k = pallas_select_topk_t(v1T, kk, interpret=interpret)[0][:, kk - 1]
+        # warm-started, 256-wide-segment select (round 5): the admission
+        # floor (k-th largest segment max, provably <= the true k-th
+        # value) skips the cold-start exactness rounds — measured exact
+        # and -15% standalone (probes/probe_select_tune.py warm256)
+        v_k = pallas_select_topk_t(
+            v1T, kk, rm0=warm_floor(v1T, kk), seg=256, interpret=interpret
+        )[0][:, kk - 1]
         # padded queries: zero rows
         real_col = (c0 + jnp.arange(QP) < Q)[None, :]
         flagT = (v2T >= v_k[None, :]) & real_col & jnp.isfinite(v2T)
@@ -290,7 +296,10 @@ def _v4_search(
         idsT = jnp.concatenate(
             [jnp.where(v1mT > NEG_INF, a1T, -1), ridxT], axis=0
         )
-        top_s, pos = pallas_select_topk_t(poolT, k, interpret=interpret)
+        top_s, pos = pallas_select_topk_t(
+            poolT, k, rm0=warm_floor(poolT, min(k, poolT.shape[0])),
+            seg=256, interpret=interpret,
+        )
         if top_s.shape[1] < k:  # tiny corpora: pad like the oracle contract
             padc = k - top_s.shape[1]
             top_s = jnp.pad(
@@ -549,6 +558,8 @@ def _rescore_windows(
 def _select_t_kernel(
     n_valid_ref,  # SMEM scalar prefetch: [1] int32
     s_ref,  # [CT, QP] VMEM: streamed TRANSPOSED score tile
+    rm0_ref,  # [8, QP] VMEM: per-query warm-start admission floor (row 0;
+    # -inf when cold) — see pallas_select_topk_t's warm_floor
     out_s_ref,  # [K, QP]
     out_i_ref,  # [K, QP]
     scores,  # [CT, qs] f32 scratch (masked-spill workspace)
@@ -561,7 +572,16 @@ def _select_t_kernel(
     """Column-oriented exact top-k over precomputed [C, Q] scores — the
     v3 insert machinery rotated 90 degrees so it consumes the window
     panels in the kernel's native transposed layout (no 160 MB
-    transposes, no wide XLA top_k)."""
+    transposes, no wide XLA top_k).
+
+    Warm start (round 5, probes/probe_select_tune.py): the running
+    admission threshold ``rm`` is clamped at a caller-provided per-query
+    floor.  Any floor <= the true k-th value is EXACT: every final top-k
+    member still passes ``val > nextafter_down(floor)``, and the floor
+    only prunes values the buffer would have evicted anyway — skipping
+    the cold-start exactness rounds (early tiles otherwise admit ~1
+    value/segment/round until the buffer fills).  Measured -15% with
+    sw=256 at the v4 panel shape, bit-identical scores."""
     j = pl.program_id(0)
     QP = s_ref.shape[1]
     K = out_s_ref.shape[0]
@@ -571,7 +591,7 @@ def _select_t_kernel(
     def _():
         out_s_ref[...] = jnp.full(out_s_ref.shape, NEG_INF, jnp.float32)
         out_i_ref[...] = jnp.full(out_i_ref.shape, -1, jnp.int32)
-        rmin[...] = jnp.full(rmin.shape, NEG_INF, jnp.float32)
+        rmin[...] = jnp.broadcast_to(rm0_ref[0:1, :], rmin.shape)
 
     base = j * ct
     nv = n_valid_ref[0]
@@ -579,7 +599,7 @@ def _select_t_kernel(
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (K, qs), 0)
     valid = base + jax.lax.broadcasted_iota(jnp.int32, (ct, 1), 0) < nv
 
-    def extract_insert(seg, g, r0, rm):
+    def extract_insert(seg, g, r0, rm, rm0):
         val = jnp.max(seg, axis=0)
         sub = jnp.argmax(seg, axis=0).astype(jnp.int32)
         act = val > rm
@@ -591,28 +611,33 @@ def _select_t_kernel(
         out_i_ref[:, r0 : r0 + qs] = jnp.where(
             slot, base + g * sw + sub[None, :], out_i_ref[:, r0 : r0 + qs]
         )
-        rm = jnp.min(out_s_ref[:, r0 : r0 + qs], axis=0)
+        # clamp at the warm floor: -inf buffer slots must not re-open the
+        # admission gate below it
+        rm = jnp.maximum(jnp.min(out_s_ref[:, r0 : r0 + qs], axis=0), rm0)
         return masked, rm
 
     for t in range(QP // qs):
         r0 = t * qs
+        rm0 = rm0_ref[0, r0 : r0 + qs]
         s = s_ref[:, r0 : r0 + qs].astype(jnp.float32)
         s = jnp.where(valid, s, NEG_INF)
         rm = rmin[0, r0 : r0 + qs]
         rem = jnp.full((qs,), NEG_INF, jnp.float32)
         for g in range(n_seg):
-            masked, rm = extract_insert(s[g * sw : (g + 1) * sw, :], g, r0, rm)
+            masked, rm = extract_insert(
+                s[g * sw : (g + 1) * sw, :], g, r0, rm, rm0
+            )
             scores[g * sw : (g + 1) * sw, :] = masked
             rem = jnp.maximum(rem, jnp.max(masked, axis=0))
         rmin[0, r0 : r0 + qs] = rm
 
-        def round_body(carry, r0=r0):
+        def round_body(carry, r0=r0, rm0=rm0):
             _ = carry
             rm2 = rmin[0, r0 : r0 + qs]
             rem2 = jnp.full((qs,), NEG_INF, jnp.float32)
             for g in range(n_seg):
                 masked, rm2 = extract_insert(
-                    scores[g * sw : (g + 1) * sw, :], g, r0, rm2
+                    scores[g * sw : (g + 1) * sw, :], g, r0, rm2, rm0
                 )
                 scores[g * sw : (g + 1) * sw, :] = masked
                 rem2 = jnp.maximum(rem2, jnp.max(masked, axis=0))
@@ -624,6 +649,28 @@ def _select_t_kernel(
             jax.lax.while_loop(lambda c: c, round_body, True)
 
 
+def warm_floor(scores_t: jax.Array, k: int) -> jax.Array | None:
+    """Per-query EXACT admission floor for :func:`pallas_select_topk_t`:
+    the k-th largest 128-row SEGMENT max, nudged one ulp down.  Segment
+    maxes are a subset of the column's values, so their k-th largest is
+    <= the true k-th value — every final top-k member passes the floor.
+    Returns None (cold start) when there are fewer than k segments, where
+    that subset argument no longer bounds the k-th value."""
+    C, Q = scores_t.shape
+    segs = -(-C // 128)
+    if k > segs:
+        return None
+    pad = segs * 128 - C
+    v = scores_t
+    if pad:
+        v = jnp.concatenate(
+            [v, jnp.full((pad, Q), NEG_INF, v.dtype)], axis=0
+        )
+    smax = jnp.max(v.reshape(segs, 128, Q), axis=1)  # [segs, Q]
+    kth = jax.lax.top_k(smax.T, k)[0][:, -1]  # [Q]
+    return jnp.nextafter(kth, jnp.float32(-jnp.inf))
+
+
 def pallas_select_topk_t(
     scores_t: jax.Array,  # [C, Q] f32 (transposed layout)
     k: int,
@@ -631,6 +678,12 @@ def pallas_select_topk_t(
     # 1024 x 2048 = 8 MB x 2 blows the 16 MB scoped-VMEM limit (measured
     # 17.88M); 512 keeps the whole kernel ~11 MB at Q=2048
     q_sub: int = 256,
+    rm0: jax.Array | None = None,  # [Q] f32 warm-start admission floor
+    # (warm_floor above; any per-query floor <= the true k-th value is
+    # exact).  None = cold start (-inf).
+    seg: int = 0,  # insert segment width; 0 = sw_al default (128).  256
+    # halves the insert calls per tile — measured exact and -15% with the
+    # warm floor at the v4 panel shape (probes/probe_select_tune.py).
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact (vals [Q, kk], ROW indices [Q, kk]) top-k per COLUMN of a
@@ -646,8 +699,10 @@ def pallas_select_topk_t(
         )
     Qp = Q + q_pad
     qs = min(q_sub, Qp)
-    c_tile = min(c_tile, -(-C // sw_al(C)) * sw_al(C))
-    c_tile = max(sw_al(C), c_tile - c_tile % sw_al(C))
+    sw = seg if seg and C >= seg else sw_al(C)
+    c_tile = max(c_tile, sw)
+    c_tile = min(c_tile, -(-C // sw) * sw)
+    c_tile = max(sw, c_tile - c_tile % sw)
     c_pad = -C % c_tile
     if c_pad:
         scores_t = jnp.concatenate(
@@ -656,15 +711,23 @@ def pallas_select_topk_t(
     Cp = C + c_pad
     K = max(8, -(-kk // 8) * 8)  # buffer rows: sublane-granular here
     nv = jnp.asarray([C], jnp.int32)
-    kernel = functools.partial(
-        _select_t_kernel, ct=c_tile, qs=qs, sw=sw_al(C)
-    )
+    if rm0 is None:
+        rm0 = jnp.full((Q,), NEG_INF, jnp.float32)
+    if q_pad:
+        rm0 = jnp.concatenate(
+            [rm0, jnp.full((q_pad,), NEG_INF, jnp.float32)]
+        )
+    rm0_in = jnp.broadcast_to(rm0.astype(jnp.float32)[None, :], (8, Qp))
+    kernel = functools.partial(_select_t_kernel, ct=c_tile, qs=qs, sw=sw)
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Cp // c_tile,),
-            in_specs=[pl.BlockSpec((c_tile, Qp), lambda j, *_: (j, 0))],
+            in_specs=[
+                pl.BlockSpec((c_tile, Qp), lambda j, *_: (j, 0)),
+                pl.BlockSpec((8, Qp), lambda j, *_: (0, 0)),
+            ],
             out_specs=[
                 pl.BlockSpec((K, Qp), lambda j, *_: (0, 0)),
                 pl.BlockSpec((K, Qp), lambda j, *_: (0, 0)),
@@ -679,7 +742,7 @@ def pallas_select_topk_t(
             jax.ShapeDtypeStruct((K, Qp), jnp.int32),
         ],
         interpret=interpret,
-    )(nv, scores_t)
+    )(nv, scores_t, rm0_in)
     # [K, Qp] buffers are tiny (<=128 x Q): transpose + narrow sort
     top_s, pos = jax.lax.top_k(out_s[:, :Q].T, kk)
     top_i = jnp.take_along_axis(out_i[:, :Q].T, pos, axis=1)

@@ -585,76 +585,96 @@ def save_ivf_sharded(index: IVFIndex, dir_path: str) -> None:
     """Persist a mesh-sharded IVFIndex as per-shard .npy slabs + one set
     of replicated sidecars.  Pulls ONE shard's slice to host at a time.
 
-    Single-controller only: ``addressable_shards`` covers this process's
-    devices, so a multi-process save would silently persist a partial
-    index — guarded below (per-process gather is future work)."""
+    Multi-process (multi-controller) pods: ``dir_path`` must be a SHARED
+    filesystem.  Each process writes the global shards it owns (the
+    lowest-device-id replica of each axis-0 slice wins, so every shard is
+    written exactly once across the pod), all processes barrier, then
+    process 0 writes the replicated sidecars + meta — counting valid rows
+    from the just-written id files, so no cross-process collective is
+    needed.  This is the reference's own persistence model
+    (``barrier_array_merge``, src/utils.py:173-228: per-rank pickles to a
+    shared filesystem + dist.barrier()), minus its gather-everything read
+    side — ``load_ivf_sharded`` reads only each process's own slices."""
     import json
     import os
 
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "save_ivf_sharded enumerates only this process's shards; on a "
-            f"multi-process pod ({jax.process_count()} processes) it would "
-            "persist a partial index.  Gather to one controller first."
-        )
     os.makedirs(dir_path, exist_ok=True)
 
-    def _shards(arr):
-        # cluster/row-axis shards in global order; replicated arrays (or
-        # single-device ones) yield their single copy
-        out = {}
+    def _write_shards(arr, name):
+        """Write this process's owned global axis-0 shards; return the
+        GLOBAL shard count (derived from the sharding's full device→index
+        map, which covers non-addressable devices too)."""
+        imap = arr.sharding.devices_indices_map(arr.shape)
+        writer = {}
+        for dev, idx in imap.items():
+            sl = idx[0]
+            start = 0 if sl.start is None else sl.start
+            if start not in writer or dev.id < writer[start].id:
+                writer[start] = dev
+        order = {s: i for i, s in enumerate(sorted(writer))}
         for sh in arr.addressable_shards:
             sl = sh.index[0]
             start = 0 if sl.start is None else sl.start
-            if start not in out:
-                out[start] = sh.data
-        return [out[s] for s in sorted(out)]
+            if writer[start].id != sh.device.id:
+                continue  # another device (possibly another process) owns it
+            _save_bf16_safe(
+                os.path.join(dir_path, f"{name}_{order[start]:03d}.npy"),
+                sh.data,
+            )
+        return len(order)
 
-    b_shards = _shards(index.buckets)
-    n_shards = len(b_shards)
-    for s, piece in enumerate(b_shards):
-        _save_bf16_safe(
-            os.path.join(dir_path, f"buckets_{s:03d}.npy"), piece
-        )
+    n_shards = _write_shards(index.buckets, "buckets")
     for name in ("bucket_ids", "tail", "tail_ids"):
-        pieces = _shards(getattr(index, name))
-        if len(pieces) != n_shards:
+        n = _write_shards(getattr(index, name), name)
+        if n != n_shards:
             raise ValueError(
-                f"{name} has {len(pieces)} shards, buckets {n_shards} — "
+                f"{name} has {n} shards, buckets {n_shards} — "
                 "not a shard_ivf/build_ivf_from_store layout"
             )
-        for s, piece in enumerate(pieces):
-            _save_bf16_safe(
-                os.path.join(dir_path, f"{name}_{s:03d}.npy"), piece
-            )
-    _save_bf16_safe(os.path.join(dir_path, "centroids.npy"), index.centroids)
-    for name in ("scale", "means", "mu", "tail_scale"):
-        val = getattr(index, name)
-        path = os.path.join(dir_path, name + ".npy")
-        if val is not None:
-            _save_bf16_safe(path, val)
-        elif os.path.exists(path):
-            os.remove(path)  # never leave stale quantization sidecars
-    # staleness fingerprint for reload guards (serve.Retriever):
-    # the exact valid-row count and the canonical bucket dtype
-    corpus_rows = int(
-        jnp.sum(index.bucket_ids >= 0) + jnp.sum(index.tail_ids >= 0)
-    )
-    with open(os.path.join(dir_path, "ivf_sharded_meta.json"), "w") as f:
-        json.dump(
-            {
-                "version": 1,
-                "n_shards": n_shards,
-                "nprobe": int(index.nprobe),
-                "nlist": int(index.buckets.shape[0]),
-                "capacity": int(index.buckets.shape[1]),
-                "dim": int(index.buckets.shape[2]),
-                "tail_rows": int(index.tail.shape[0]),
-                "bucket_dtype": str(index.buckets.dtype),
-                "corpus_rows": corpus_rows,
-            },
-            f,
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("save_ivf_sharded:shards")
+    if jax.process_index() == 0:
+        _save_bf16_safe(
+            os.path.join(dir_path, "centroids.npy"), index.centroids
         )
+        for name in ("scale", "means", "mu", "tail_scale"):
+            val = getattr(index, name)
+            path = os.path.join(dir_path, name + ".npy")
+            if val is not None:
+                _save_bf16_safe(path, val)
+            elif os.path.exists(path):
+                os.remove(path)  # never leave stale quantization sidecars
+        # staleness fingerprint for reload guards (serve.Retriever): the
+        # exact valid-row count and the canonical bucket dtype.  Counted
+        # from the saved id files (one mmap'd shard at a time) — the
+        # global arrays are not addressable from one process on a pod.
+        corpus_rows = 0
+        for s in range(n_shards):
+            for nm in ("bucket_ids", "tail_ids"):
+                ids = _mmap_load(os.path.join(dir_path, f"{nm}_{s:03d}.npy"))
+                corpus_rows += int((np.asarray(ids) >= 0).sum())
+        with open(os.path.join(dir_path, "ivf_sharded_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "version": 1,
+                    "n_shards": n_shards,
+                    "nprobe": int(index.nprobe),
+                    "nlist": int(index.buckets.shape[0]),
+                    "capacity": int(index.buckets.shape[1]),
+                    "dim": int(index.buckets.shape[2]),
+                    "tail_rows": int(index.tail.shape[0]),
+                    "bucket_dtype": str(index.buckets.dtype),
+                    "corpus_rows": corpus_rows,
+                },
+                f,
+            )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # every process returns only once the directory is complete
+        multihost_utils.sync_global_devices("save_ivf_sharded:meta")
 
 
 def load_ivf_sharded(mesh: Mesh, dir_path: str, with_meta: bool = False):
@@ -726,6 +746,10 @@ def load_ivf_sharded(mesh: Mesh, dir_path: str, with_meta: bool = False):
     tail_dtype = _mmap_load(os.path.join(dir_path, "tail_000.npy")).dtype
     for i in range(n_new):
         dev = devices[i]
+        if dev.process_index != jax.process_index():
+            # multi-controller pod: each process loads (and mmap-reads)
+            # only the slices destined for its own devices
+            continue
         b_pieces.append(jax.device_put(_cluster_piece("buckets", i), dev))
         bi_pieces.append(
             jax.device_put(_cluster_piece("bucket_ids", i), dev)

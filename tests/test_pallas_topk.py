@@ -574,6 +574,49 @@ def test_pallas_select_topk_t_matches_laxtopk(rng):
         assert len(set(vi[r])) == 4
 
 
+def test_pallas_select_topk_t_warm_floor_exact(rng):
+    """Warm-started admission floor + 256-wide segments (round 5, shipped
+    in _v4_search's v_k and final selects): bit-identical VALUES to the
+    cold kernel, ids valid per tie class; the floor (k-th largest segment
+    max) provably lower-bounds the k-th value.  Also: warm_floor returns
+    None when k exceeds the segment count (the subset bound fails there),
+    and ties at exactly the floor are still admitted."""
+    from haconvdr_tpu.ops.pallas_topk_v4 import (
+        pallas_select_topk_t,
+        warm_floor,
+    )
+
+    Q, C, k = 64, 1100, 8  # segs = ceil(1100/128) = 9 >= k
+    s = rng.randn(C, Q).astype(np.float32)
+    sj = jnp.asarray(s)
+    rm0 = warm_floor(sj, k)
+    assert rm0 is not None
+    vs, vi = pallas_select_topk_t(
+        sj, k, c_tile=256, q_sub=64, rm0=rm0, seg=256, interpret=True
+    )
+    rs, ri = jax.lax.top_k(jnp.asarray(s.T), k)
+    np.testing.assert_array_equal(np.asarray(vs), np.asarray(rs))
+    np.testing.assert_array_equal(np.asarray(vi), np.asarray(ri))
+
+    # exact ties at the floor: duplicate the k-th value many times; the
+    # warm select must still return the exact multiset of top values
+    sd = s.copy()
+    kth = np.sort(sd[:, 0])[-k]
+    sd[:40, 0] = kth
+    sdj = jnp.asarray(sd)
+    vs, vi = pallas_select_topk_t(
+        sdj, k, rm0=warm_floor(sdj, k), seg=256, interpret=True
+    )
+    vs, vi = np.asarray(vs), np.asarray(vi)
+    rs = np.asarray(jax.lax.top_k(jnp.asarray(sd.T), k)[0])
+    np.testing.assert_array_equal(vs, rs)
+    for r in range(Q):
+        np.testing.assert_array_equal(sd[vi[r], r], vs[r])
+        assert len(set(vi[r])) == k
+
+    assert warm_floor(jnp.asarray(s[:256]), 8) is None  # 2 segs < k
+
+
 def test_block_searcher_first_block_routes_v4(rng, monkeypatch):
     """The stream's FIRST block is statically unseeded, so BlockSearcher's
     real _block_topk must route it through the v4 window-top-2 kernel;
