@@ -70,6 +70,8 @@ def main(argv=None):
         port=s.port,
         max_batch=s.max_batch,
         max_wait_ms=s.max_wait_ms,
+        queue_depth=s.queue_depth,
+        request_timeout_s=s.request_timeout_s,
     )
     logger.info(
         "serving %s/%s on http://%s:%d (max_batch=%d, wait=%.1fms)",

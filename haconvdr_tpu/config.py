@@ -253,6 +253,11 @@ class ServeConfig:
     # queued or the oldest has waited max_wait_ms (serve.BatchingRetriever)
     max_batch: int = 64
     max_wait_ms: float = 2.0
+    # backpressure: bound on queued-but-undispatched requests (beyond it
+    # submits get 503 + Retry-After) and the per-request answer deadline
+    # (504 past it — a stalled dispatch must not pin request threads)
+    queue_depth: int = 1024
+    request_timeout_s: float = 30.0
     # index residency (serve.Retriever): resident=True loads the store
     # into device HBM; ivf=True builds/loads the cluster-pruned index —
     # the LATENCY tier (single-query ~1 ms vs ~4-6 ms flat at 2.5M); keep

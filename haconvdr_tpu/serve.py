@@ -335,6 +335,13 @@ class _Request:
 _SHUTDOWN = object()
 
 
+class BacklogFull(RuntimeError):
+    """submit() backpressure: the batcher's bounded queue is at
+    ``queue_depth`` (the dispatch worker is not keeping up — e.g. a
+    stalled device).  Callers should shed load (HTTP: 503 + Retry-After)
+    rather than queue unboundedly."""
+
+
 class BatchingRetriever:
     """Micro-batching serving frontend over a :class:`Retriever`.
 
@@ -433,7 +440,16 @@ class BatchingRetriever:
         with self._submit_gate:
             if self._closed.is_set():
                 raise RuntimeError("BatchingRetriever is closed")
-            self._q.put(_Request(ex, int(k), fut))
+            try:
+                # non-blocking: a full queue must reject, not block the
+                # caller's thread behind a stalled dispatch (and a
+                # blocking put under the gate would also stall close())
+                self._q.put_nowait(_Request(ex, int(k), fut))
+            except queue.Full:
+                raise BacklogFull(
+                    f"batcher backlog at queue_depth={self._q.maxsize}; "
+                    "retry later or raise queue_depth"
+                ) from None
         with self._lock:
             self._n_queries += 1
         return fut
@@ -443,12 +459,15 @@ class BatchingRetriever:
         return self.submit(*args, **kw).result()
 
     def stats(self) -> Dict:
-        """{"queries", "dispatches", "batch_histogram"} so far."""
+        """{"queries", "dispatches", "batch_histogram", "backlog",
+        "queue_depth"} so far."""
         with self._lock:
             return {
                 "queries": self._n_queries,
                 "dispatches": self._n_dispatches,
                 "batch_histogram": dict(self._batch_hist),
+                "backlog": self._q.qsize(),
+                "queue_depth": self._q.maxsize,
             }
 
     def close(self) -> None:

@@ -20,6 +20,11 @@ API (all JSON):
                         -> {"results": [<retrieve response>, ...]}
                         (submitted together -> coalesced into one dispatch)
   GET  /healthz         {"ok": true, "uptime_s": float}
+
+Backpressure: the batcher queue is bounded (``queue_depth``) — submits
+beyond it get 503 + a ``Retry-After`` header instead of queueing
+unboundedly; every accepted request is answered within
+``request_timeout_s`` (504 on a stalled device dispatch).
   GET  /stats           batcher dispatch stats + served/error counters +
                         p50/p90/p99 request latency (ms)
   GET  /                this usage text
@@ -36,10 +41,11 @@ import logging
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Tuple
 
-from haconvdr_tpu.serve import BatchingRetriever, Retriever
+from haconvdr_tpu.serve import BacklogFull, BatchingRetriever, Retriever
 
 logger = logging.getLogger(__name__)
 
@@ -71,9 +77,20 @@ class RetrievalServer:
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
         batcher: Optional[BatchingRetriever] = None,
+        queue_depth: int = 1024,
+        request_timeout_s: float = 30.0,
+        retry_after_s: float = 1.0,
     ):
+        # backpressure contract: the batcher's queue is bounded at
+        # queue_depth (submit sheds with 503 + Retry-After once the
+        # dispatch worker falls behind) and every accepted request is
+        # answered within request_timeout_s (a stalled device dispatch
+        # turns into 504s, not request threads blocked forever)
+        self.request_timeout_s = float(request_timeout_s)
+        self.retry_after_s = float(retry_after_s)
         self.batcher = batcher or BatchingRetriever(
-            retriever, max_batch=max_batch, max_wait_ms=max_wait_ms
+            retriever, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            queue_depth=queue_depth,
         )
         self._t0 = time.time()
         self._lock = threading.Lock()
@@ -93,11 +110,16 @@ class RetrievalServer:
             def log_message(self, fmt, *args):  # route to logging, not stderr
                 logger.debug("%s %s", self.address_string(), fmt % args)
 
-            def _reply(self, code: int, obj: Dict) -> None:
+            def _reply(
+                self, code: int, obj: Dict,
+                headers: Optional[Dict[str, str]] = None,
+            ) -> None:
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -129,7 +151,11 @@ class RetrievalServer:
                     code, obj = server.handle_retrieve_batch(payload)
                 else:
                     code, obj = 404, {"error": f"no such path {self.path!r}"}
-                self._reply(code, obj)
+                headers = (
+                    {"Retry-After": f"{server.retry_after_s:g}"}
+                    if code == 503 else None
+                )
+                self._reply(code, obj, headers)
 
         self._http = ThreadingHTTPServer((host, port), Handler)
         self._http.daemon_threads = True
@@ -167,7 +193,20 @@ class RetrievalServer:
 
     def _await(self, fut: Future, t0: float) -> Tuple[int, Dict]:
         try:
-            hits = fut.result()
+            hits = fut.result(timeout=self.request_timeout_s)
+        except FutureTimeout:
+            # a stalled device dispatch must not pin request threads
+            # forever; cancel so a late dispatch skips this future (the
+            # batcher claims futures via set_running_or_notify_cancel)
+            fut.cancel()
+            with self._lock:
+                self._errors += 1
+            logger.error(
+                "retrieve timed out after %.1fs", self.request_timeout_s
+            )
+            return 504, {
+                "error": f"timed out after {self.request_timeout_s:g}s"
+            }
         except Exception as e:  # dispatch failure surfaced on the future
             with self._lock:
                 self._errors += 1
@@ -188,6 +227,10 @@ class RetrievalServer:
             fut = self._submit(payload)
         except ValueError as e:
             return 400, {"error": str(e)}
+        except BacklogFull as e:  # bounded-queue backpressure
+            with self._lock:
+                self._errors += 1
+            return 503, {"error": str(e)}
         except RuntimeError as e:  # batcher closed
             return 503, {"error": str(e)}
         return self._await(fut, t0)

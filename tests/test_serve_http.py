@@ -11,6 +11,7 @@ tested over real sockets on the virtual CPU mesh.
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -207,6 +208,148 @@ def test_health_and_stats(server):
     assert st["latency_ms"]["p50"] > 0
     assert st["latency_ms"]["p99"] >= st["latency_ms"]["p50"]
     assert "dispatches" in st and "batch_histogram" in st
+
+
+class _BlockingSearchRetriever:
+    """Delegate everything to a real Retriever but gate search() on an
+    event — simulates a stalled device dispatch (the failure mode the
+    backpressure contract exists for)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.entered = threading.Event()
+        self.release = threading.Event()
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def search(self, embs):
+        self.entered.set()
+        assert self.release.wait(timeout=120), "test forgot to release"
+        return self._inner.search(embs)
+
+
+def test_backlog_full_is_503_with_retry_after(retriever):
+    """With the dispatch worker stalled and the bounded queue full,
+    further submits shed load: 503 + Retry-After, served instantly (not
+    queued behind the stall).  Queued requests still complete once the
+    stall clears."""
+    proxy = _BlockingSearchRetriever(retriever)
+    srv = RetrievalServer(
+        proxy, port=0, max_batch=1, max_wait_ms=0.0,
+        queue_depth=2, request_timeout_s=120.0,
+    ).start()
+    try:
+        results = {}
+
+        def ask(i, pid):
+            results[i] = _post(
+                srv, "/retrieve", {"question": _passage_text(pid)},
+                timeout=120,
+            )
+
+        t0 = threading.Thread(target=ask, args=(0, 3))
+        t0.start()
+        assert proxy.entered.wait(timeout=60)  # r0 stalled inside dispatch
+        ts = [
+            threading.Thread(target=ask, args=(i, 3 + i)) for i in (1, 2)
+        ]
+        for t in ts:
+            t.start()
+        deadline = time.time() + 30
+        while (
+            srv.batcher.stats()["backlog"] < 2 and time.time() < deadline
+        ):
+            time.sleep(0.01)
+        assert srv.batcher.stats()["backlog"] == 2  # queue at queue_depth
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/retrieve", {"question": _passage_text(9)})
+        assert ei.value.code == 503
+        assert float(ei.value.headers["Retry-After"]) > 0
+        assert "backlog" in json.loads(ei.value.read())["error"]
+
+        proxy.release.set()  # stall clears; queued requests drain
+        for t in [t0] + ts:
+            t.join(timeout=120)
+            assert not t.is_alive()
+        for i, pid in [(0, 3), (1, 4), (2, 5)]:
+            code, obj = results[i]
+            assert code == 200 and obj["hits"][0]["pid"] == pid
+    finally:
+        proxy.release.set()
+        srv.close()
+
+
+def test_stalled_dispatch_times_out_504(retriever):
+    """A request whose dispatch stalls past request_timeout_s gets 504
+    (request threads are never pinned indefinitely); the late-completing
+    dispatch is skipped via the cancelled future, and the server keeps
+    serving afterwards."""
+    proxy = _BlockingSearchRetriever(retriever)
+    srv = RetrievalServer(
+        proxy, port=0, max_batch=4, request_timeout_s=0.3
+    ).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, "/retrieve", {"question": _passage_text(5)},
+                  timeout=60)
+        assert ei.value.code == 504
+        assert "timed out" in json.loads(ei.value.read())["error"]
+        _, st = _get(srv, "/stats")
+        assert st["errors"] >= 1
+
+        proxy.release.set()  # the stalled dispatch completes harmlessly
+        code, obj = _post(
+            srv, "/retrieve", {"question": _passage_text(7)}, timeout=60
+        )
+        assert code == 200 and obj["hits"][0]["pid"] == 7
+    finally:
+        proxy.release.set()
+        srv.close()
+
+
+def test_graceful_drain_under_concurrent_load(retriever):
+    """close() racing 16 concurrent clients: every client gets a
+    definitive outcome (200 with correct hits, 503, or a connection
+    error for arrivals after the listener stopped) — nothing hangs."""
+    srv = RetrievalServer(
+        retriever, port=0, max_batch=4, max_wait_ms=20.0
+    ).start()
+    outcomes = []
+    lock = threading.Lock()
+
+    def ask(pid):
+        try:
+            code, obj = _post(
+                srv, "/retrieve", {"question": _passage_text(pid)},
+                timeout=120,
+            )
+            o = ("ok", pid, obj)
+        except urllib.error.HTTPError as e:
+            o = ("http", pid, e.code)
+        except (urllib.error.URLError, ConnectionError, OSError):
+            o = ("conn", pid, None)
+        with lock:
+            outcomes.append(o)
+
+    threads = [
+        threading.Thread(target=ask, args=(1 + i % 20,)) for i in range(16)
+    ]
+    for t in threads:
+        t.start()
+    srv.close()  # concurrent with in-flight requests
+    for t in threads:
+        t.join(timeout=180)
+    assert not any(t.is_alive() for t in threads), (
+        "a request hung through close()"
+    )
+    assert len(outcomes) == 16
+    for kind, pid, obj in outcomes:
+        if kind == "ok":  # accepted before close: full correct answer
+            assert obj["hits"][0]["pid"] == pid
+        elif kind == "http":  # rejected cleanly
+            assert obj in (503, 504)
 
 
 def test_close_is_idempotent_and_refuses_after(retriever):
