@@ -1,0 +1,165 @@
+"""v4 window width (seg_width) sweep: does widening the windows from 128
+to 256/512 buy back selection time?
+
+The honest round-5 wall at 2.5M int8 x 2048 is 39.3 ms, of which the
+panel kernel is 17.8 (MXU floor) and ~21.5 ms is selection+rescore over
+the [Wp, QP] panels (probes/probe_v4_perpart.py).  Selection cost scales
+with panel AREA, and Wp = N / seg_width: sw=256 halves every select
+kernel's input (the v_k select, the flag select, the final pool) at the
+cost of (a) 2x rescore rows per flagged window and (b) ~2x the expected
+flag count (same-window top-k pairs ~ C(k,2)/W).  The flag-rule
+exactness argument is width-independent (an unflagged window's 3rd+
+member is <= its 2nd < v_k <= true k-th), so any sw is exact modulo the
+budget check — n_flag_max is reported per case and budget variants are
+swept where the Poisson math says overflow risk rises.
+
+Cases: {int8, bf16} x {sw128 (shipped), sw256} x budget {4, 8 for sw256},
+plus an on-chip exactness pin (sw256 vs sw128 at N=300k, bit-equal
+scores).  Subprocess-per-case with a JSONL cache (relay-drop resilient).
+
+Run (TPU, nothing else on the chip):
+  PYTHONPATH=/root/repo python probes/probe_v4_segwidth.py
+"""
+
+import functools  # noqa: F401  (parity with sibling probes)
+import json
+import os
+import subprocess
+import sys
+import time
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".v4_segwidth.jsonl")
+CASES = [
+    "int8_sw128_b4", "int8_sw256_b4", "int8_sw256_b8",
+    "bf16_sw128_b4", "bf16_sw256_b8",
+    "exact_sw256",
+]
+
+if not os.environ.get("CASE"):
+    done = {}
+    if os.path.exists(RESULTS):
+        for line in open(RESULTS):
+            r = json.loads(line)
+            done[r["case"]] = r
+    for case in CASES:
+        if case in done:
+            print(f"{case:14s}: {done[case]}", flush=True)
+            continue
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=dict(os.environ, CASE=case),
+        )
+        if r.returncode != 0:
+            sys.exit(f"case {case} failed (rc {r.returncode}); re-run to resume")
+        for line in open(RESULTS):
+            rec = json.loads(line)
+            done[rec["case"]] = rec
+    base = done.get("int8_sw128_b4")
+    if base:
+        for c in CASES:
+            if c in done and "ms" in done[c]:
+                ms = done[c]["ms"]
+                print(f"{c:14s}: {ms:6.2f} ms  "
+                      f"({2048 / ms * 1e3:7,.0f} QPS)  "
+                      f"n_flag_max={done[c].get('n_flag_max')}")
+    sys.exit(0)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from haconvdr_tpu.ops.pallas_topk_v4 import _v4_search
+
+assert jax.devices()[0].platform == "tpu"
+
+N, D, Q, K = 2_500_608, 768, 2048, 100
+REPS = 4
+
+case = os.environ["CASE"]
+
+
+def sink(s, i):
+    return (
+        jnp.sum(jnp.where(jnp.isfinite(s), s, 0.0)).astype(jnp.float32)
+        + jnp.sum(i.astype(jnp.float32))
+    )
+
+
+def gen(n, dt, kq, kp):
+    if dt == "int8":
+        p = jax.random.randint(kp, (n, D), -127, 128, jnp.int8)
+        q = jax.random.randint(kq, (Q, D), -127, 128, jnp.int8)
+    else:
+        p = jax.random.normal(kp, (n, D), jnp.bfloat16)
+        q = jax.random.normal(kq, (Q, D), jnp.bfloat16)
+    return q, p
+
+
+kq, kp = jax.random.split(jax.random.PRNGKey(0))
+
+if case == "exact_sw256":
+    # exactness pin: sw256 == sw128 bit-for-bit at a searchable size
+    n = 301_056  # multiple of 1024
+    for dt in ("int8", "bf16"):
+        q, p = gen(n, dt, kq, kp)
+        s1, i1, f1 = (np.asarray(x) for x in _v4_search(
+            q, p, jnp.int32(n), K))
+        s2, i2, f2 = (np.asarray(x) for x in _v4_search(
+            q, p, jnp.int32(n), K, seg_width=256, budget=8))
+        assert f1 <= 4 and f2 <= 8, (f1, f2)
+        np.testing.assert_array_equal(s1, s2)
+        # ids may swap only inside exact-tie classes
+        diff = i1 != i2
+        if diff.any():
+            rows, cols = np.nonzero(diff)
+            for r, c in zip(rows[:64], cols[:64]):
+                tie = s1[r] == s1[r, c]
+                assert i2[r, c] in i1[r][tie], (r, c)
+        print(f"exact_sw256[{dt}]: OK (id swaps {int(diff.sum())}, "
+              f"all in tie classes)", flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps({"case": case, "ok": True}) + "\n")
+    sys.exit(0)
+
+dt, sw_s, b_s = case.split("_")
+sw, budget = int(sw_s[2:]), int(b_s[1:])
+queries, passages = gen(N, dt, kq, kp)
+
+
+@jax.jit
+def run(q, psg):
+    def body(c, step):
+        if dt == "int8":
+            qs = q.at[0, 0].set(
+                (step.astype(jnp.int32) % 3 - 1).astype(jnp.int8)
+            )
+        else:
+            qs = q + step.astype(q.dtype) * 1e-6
+        s, i, nf = _v4_search(
+            qs, psg, jnp.int32(N), K, seg_width=sw, budget=budget
+        )
+        return (c[0] + sink(s, i), jnp.maximum(c[1], nf)), None
+
+    acc, _ = jax.lax.scan(
+        body, (jnp.float32(0), jnp.int32(0)), jnp.arange(REPS)
+    )
+    return acc
+
+
+def timeit(f, *a, reps=3):
+    out = jax.device_get(f(*a))
+    t0 = time.time()
+    for _ in range(reps):
+        out = jax.device_get(f(*a))
+    return (time.time() - t0) / reps / REPS * 1e3, int(out[1])
+
+
+ms, n_flag_max = timeit(run, queries, passages)
+with open(RESULTS, "a") as f:
+    f.write(json.dumps(
+        {"case": case, "ms": ms, "n_flag_max": n_flag_max}) + "\n")
+print(f"{case:14s}: {ms:6.2f} ms  n_flag_max={n_flag_max}", flush=True)
