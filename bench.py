@@ -556,10 +556,16 @@ def bench_corpus(jax, jnp):
     from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
     from haconvdr_tpu.ops.topk import merge_topk
 
-    N_CORPUS = 25_700_592
-    FILLS = 10
-    R = -(-N_CORPUS // FILLS // 2048) * 2048  # 2,570,240 rows per fill
+    # default: TopiOCQA's 25,700,592 rows in 10 fills.  BENCH_CORPUS_N /
+    # BENCH_CORPUS_FILLS select other corpora — QReCC's 54,573,064 rows
+    # (preprocess_qrecc.py:109) in 22 fills matches the reference's
+    # 22-block loop (src/test_HAConvDR_qrecc.py:405) as ONE measured pass.
+    N_CORPUS = int(os.environ.get("BENCH_CORPUS_N", 25_700_592))
+    FILLS = int(os.environ.get("BENCH_CORPUS_FILLS", 10))
     GEN_CH = 10
+    # rows per fill: multiple of 2048 (kernel q-tile) AND GEN_CH (chunked
+    # on-device generation divides the buffer evenly)
+    R = -(-N_CORPUS // FILLS // (2048 * GEN_CH)) * (2048 * GEN_CH)
     CH = R // GEN_CH
     int8 = bool(os.environ.get("BENCH_INT8"))
     BASELINE_PASS_MS = 2048 * (N_CORPUS / N_PASSAGES) / BASELINE_QPS * 1e3
@@ -664,7 +670,7 @@ def bench_corpus(jax, jnp):
 
     suffix = "_int8" if int8 else "_bf16"
     return {
-        "metric": f"corpus_pass_25.7M_q2048_ms{suffix}",
+        "metric": f"corpus_pass_{N_CORPUS / 1e6:.1f}M_q2048_ms{suffix}",
         "value": round(net_ms, 1),
         "unit": "ms",
         "vs_baseline": round(BASELINE_PASS_MS / net_ms, 2),
@@ -892,6 +898,11 @@ def main():
                                 "BENCH_INT8": "1"}),
             ("corpus-bf16", {"BENCH_CORPUS": "1"}),
             ("corpus-int8", {"BENCH_CORPUS": "1", "BENCH_INT8": "1"}),
+            # QReCC-54M capacity tier: the reference's 22-block loop as
+            # one measured int8 pass (VERDICT r4 missing #2)
+            ("corpus-54M-int8", {"BENCH_CORPUS": "1", "BENCH_INT8": "1",
+                                 "BENCH_CORPUS_N": "54573064",
+                                 "BENCH_CORPUS_FILLS": "22"}),
             ("train", {"BENCH_TRAIN": "1"}),
             ("encode", {"BENCH_ENCODE": "1"}),
             ("e2e", {"BENCH_E2E": "1"}),
