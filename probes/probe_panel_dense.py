@@ -191,7 +191,7 @@ def main():
         flops = 2 * R * K * N
         x = jax.random.randint(kx, (R, K), -127, 128, jnp.int8)
         w = jax.random.randint(kw, (K, N), -127, 128, jnp.int8)
-        wt = jnp.ascontiguousarray(w.T)
+        wt = jnp.asarray(np.ascontiguousarray(np.asarray(w).T))
         s = jax.random.uniform(kw, (N,), jnp.float32, 0.5, 2.0)
 
         cases = [(f"{gemm} xla i8+dequant        ",
