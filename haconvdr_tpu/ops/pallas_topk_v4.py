@@ -61,6 +61,40 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(-jnp.inf)
 
 
+def resolve_select_geometry(
+    n_rows: int, index_dtype, seg_width: int = 0, budget: int = 0
+) -> Tuple[int, int]:
+    """Resolve the (seg_width, budget) window geometry for a v4 search.
+
+    ``seg_width=0`` / ``budget=0`` mean "auto".  Measured on a v5e chip
+    at 2.5M x 2048 (probes/probe_v4_segwidth.py, round 5):
+
+    - sw=256 halves every selection panel (Wp = N/sw) and wins ~3-4%:
+      int8 37.98 ms (b6) vs 39.51 (sw128 b4); bf16 58.05/58.22 (b6/b8)
+      vs 59.84.  It needs p_tile=2048, hence N % 2048 == 0.
+    - the flag rate doubles with halved window count (expected
+      flags/query ~ C(k,2)/W): budget 4 measured OVERFLOWING for bf16
+      (n_flag_max 5), which would trip the ~90 ms v3 fallback — so the
+      auto budget rises with sw.  For int8, budget 8 erases the win
+      (40.03 ms — a rescore-pool threshold between B*sw=1536 and 2048
+      rows) while budget 6 is free (37.98 vs 37.94 at b4), so int8
+      gets 6 (headroom 2 over the measured max of 4; P(Pois(0.5) >= 7)
+      ~ 1e-6/query) and floats get 8 (+0.17 ms insurance).
+    - small blocks: the flag rate scales as 1/W, so wide segments at
+      N << 2M overflow any constant budget (measured n_flag 13 at 301k
+      with sw=256); they keep (128, 4).
+    """
+    if seg_width == 0:
+        wide = n_rows >= 2_000_000 and n_rows % 2048 == 0
+        seg_width = 256 if wide else 128
+    if budget == 0:
+        if seg_width >= 256:
+            budget = 6 if index_dtype == jnp.int8 else 8
+        else:
+            budget = 4
+    return seg_width, budget
+
+
 def _window_top2_kernel(
     n_valid_ref,  # SMEM scalar prefetch: [1] int32
     q_ref,  # [QP, D] VMEM, resident across the whole grid
@@ -157,18 +191,20 @@ def _v4_search(
     q_tile: int = 256,
     p_tile: int = 0,
     q_panel: int = 0,
-    seg_width: int = 128,
-    budget: int = 4,  # max rescored (flagged) windows per query.
-    # Expected flags/query ~ Poisson(0.3) (same-window top-k pairs):
-    # P(any of 2048 queries > 4) ~ 0.28 per search -> those searches
-    # fall back to v3 (still exact).  Each budget slot costs ~5 ms of
-    # scattered window DMAs at 2.5M x 2048, so 4 balances the common
-    # case against the fallback rate; raise for tie-heavy corpora.
+    seg_width: int = 0,  # 0 = auto (resolve_select_geometry)
+    budget: int = 0,  # max rescored (flagged) windows per query; 0 =
+    # auto.  Expected flags/query ~ Poisson(C(k,2)/W) (same-window
+    # top-k pairs): searches whose max flag count exceeds the budget
+    # fall back to v3 (still exact).  Each budget slot costs ~0.5 ms of
+    # scattered window DMAs at 2.5M x 2048; raise for tie-heavy corpora.
     interpret: bool = False,
 ):
     Q, D = queries.shape
     N, D2 = passages.shape
     assert D == D2
+    seg_width, budget = resolve_select_geometry(
+        N, passages.dtype, seg_width, budget
+    )
     q_scale = None
     if passages.dtype == jnp.int8 and queries.dtype != jnp.int8:
         # int8 x int8 MXU mode: quantize the (scale-folded) queries with a
@@ -192,7 +228,12 @@ def _v4_search(
     elif passages.dtype == jnp.bfloat16 and queries.dtype != jnp.bfloat16:
         queries = queries.astype(jnp.bfloat16)
     if p_tile == 0:
-        p_tile = 1024
+        # the kernel stacks a tile's n_win window rows into ONE
+        # [n_win, qt] store at sublane offset (j % flush) * n_win, which
+        # Mosaic requires provably 8-aligned — so n_win = p_tile/sw must
+        # be >= 8 (measured: sw=256 at p_tile=1024 fails to compile with
+        # "index in dimension 0 is a multiple of 8")
+        p_tile = max(1024, 8 * seg_width)
     assert N % p_tile == 0, "pad passages to a multiple of p_tile"
     if q_panel == 0:
         # 1024 for all dtypes: the four [128, panel] output blocks are
@@ -204,6 +245,11 @@ def _v4_search(
     assert p_tile % sw == 0 and sw % 128 == 0
     n_win = p_tile // sw
     assert 128 % n_win == 0
+    assert interpret or n_win >= 8, (
+        f"p_tile/seg_width = {n_win} < 8: Mosaic requires the stacked "
+        f"[n_win, qt] window store 8-sublane-aligned; use p_tile >= "
+        f"{8 * sw} (interpret mode has no such constraint)"
+    )
     flush = 128 // n_win
     if Q < q_tile:
         q_tile = max(8, -(-Q // 8) * 8)
@@ -769,8 +815,8 @@ def pallas_topk_block_v4(
     q_tile: int = 256,
     p_tile: int = 0,
     q_panel: int = 0,
-    seg_width: int = 128,
-    budget: int = 4,
+    seg_width: int = 0,  # 0 = auto (resolve_select_geometry)
+    budget: int = 0,  # 0 = auto
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact (scores [Q, k], ids [Q, k]) — the v4 fast path with automatic
@@ -794,6 +840,9 @@ def pallas_topk_block_v4(
     is applied once after the cond."""
     from haconvdr_tpu.ops.pallas_topk import pallas_topk_block
 
+    seg_width, budget = resolve_select_geometry(
+        passages.shape[0], passages.dtype, seg_width, budget
+    )
     q_scale = None
     if passages.dtype == jnp.int8:
         qf = queries.astype(jnp.float32)

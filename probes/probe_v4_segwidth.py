@@ -33,6 +33,7 @@ RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 CASES = [
     "int8_sw128_b4", "int8_sw256_b4", "int8_sw256_b8",
     "bf16_sw128_b4", "bf16_sw256_b8",
+    "int8_sw256_b6", "bf16_sw256_b6",
     "exact_sw256",
 ]
 
@@ -102,25 +103,41 @@ def gen(n, dt, kq, kp):
 kq, kp = jax.random.split(jax.random.PRNGKey(0))
 
 if case == "exact_sw256":
-    # exactness pin: sw256 == sw128 bit-for-bit at a searchable size
-    n = 301_056  # multiple of 1024
+    # exactness pin at the SHIPPED geometry: sw256 (auto budgets) must
+    # equal the established-exact sw128 path bit-for-bit on scores at
+    # 2.5M (small-N pins overflow any VMEM-feasible sw256 budget: at
+    # n=301k flags/query ~ Poisson(4.2) measured max 13, and budget 32
+    # OOMs the rescore kernel's scoped VMEM — 32x256 rows x [1024] f32
+    # panels = 24M > 16M).
+    n = N  # 2,500,608
     for dt in ("int8", "bf16"):
         q, p = gen(n, dt, kq, kp)
         s1, i1, f1 = (np.asarray(x) for x in _v4_search(
-            q, p, jnp.int32(n), K))
+            q, p, jnp.int32(n), K, seg_width=128, budget=4))
         s2, i2, f2 = (np.asarray(x) for x in _v4_search(
-            q, p, jnp.int32(n), K, seg_width=256, budget=8))
-        assert f1 <= 4 and f2 <= 8, (f1, f2)
+            q, p, jnp.int32(n), K))  # auto: sw256, b6 int8 / b8 float
+        assert f1 <= 4 and f2 <= (6 if dt == "int8" else 8), (f1, f2)
         np.testing.assert_array_equal(s1, s2)
-        # ids may swap only inside exact-tie classes
+        # ids may differ only inside exact-tie classes — and at the
+        # k-th-score boundary the tie class can be LARGER than the
+        # remaining slots, so membership in the other run's id list is
+        # too strict; validate differing ids by rescoring them (one
+        # batched device dot)
         diff = i1 != i2
         if diff.any():
             rows, cols = np.nonzero(diff)
-            for r, c in zip(rows[:64], cols[:64]):
-                tie = s1[r] == s1[r, c]
-                assert i2[r, c] in i1[r][tie], (r, c)
+            true = np.asarray(jax.jit(
+                lambda P, Qm, ids, rs: jax.vmap(
+                    lambda idx, r: jnp.dot(
+                        P[idx].astype(jnp.float32), Qm[r].astype(jnp.float32)
+                    )
+                )(ids, rs)
+            )(p, q, jnp.asarray(i2[rows, cols]), jnp.asarray(rows)))
+            np.testing.assert_allclose(
+                true, s2[rows, cols], rtol=1e-5
+            )
         print(f"exact_sw256[{dt}]: OK (id swaps {int(diff.sum())}, "
-              f"all in tie classes)", flush=True)
+              f"all score-verified ties)", flush=True)
     with open(RESULTS, "a") as f:
         f.write(json.dumps({"case": case, "ok": True}) + "\n")
     sys.exit(0)

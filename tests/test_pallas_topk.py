@@ -675,3 +675,59 @@ def test_block_searcher_first_block_routes_v4(rng, monkeypatch):
     assert calls["v4"] == 0 and calls["v3"] >= 2, calls
     np.testing.assert_allclose(s2, ref_s, rtol=1e-5)
     np.testing.assert_array_equal(i2, ref_i)
+
+
+def test_resolve_select_geometry_policy():
+    """Auto (seg_width, budget) policy (resolve_select_geometry): wide
+    256-segments only for >= 2M row blocks that tile at p_tile=2048,
+    with the measured-robust budgets (probes/probe_v4_segwidth.py:
+    bf16 n_flag_max 5 at 2.5M means budget 4 would trip the v3
+    fallback; int8's budget 8 erases the win so it gets 6)."""
+    from haconvdr_tpu.ops.pallas_topk_v4 import resolve_select_geometry
+
+    # big float block: wide + insurance budget
+    assert resolve_select_geometry(2_500_608, jnp.bfloat16) == (256, 8)
+    assert resolve_select_geometry(2_500_608, jnp.float32) == (256, 8)
+    # big int8 block: wide + the measured-free budget 6
+    assert resolve_select_geometry(2_500_608, jnp.int8) == (256, 6)
+    # small block: flag rate ~ 1/W overflows wide segments
+    assert resolve_select_geometry(301_056, jnp.bfloat16) == (128, 4)
+    # big but not 2048-tileable: p_tile=2048 impossible
+    assert resolve_select_geometry(2_500_608 + 1024, jnp.int8) == (128, 4)
+    # explicit values pass through untouched
+    assert resolve_select_geometry(2_500_608, jnp.int8, 128, 4) == (128, 4)
+    # explicit width, auto budget follows the width
+    assert resolve_select_geometry(301_056, jnp.bfloat16, 256) == (256, 8)
+    assert resolve_select_geometry(301_056, jnp.int8, 256) == (256, 6)
+
+
+def test_pallas_v4_seg256_interpret_exact(rng):
+    """seg_width=256 window partition (round-5 wide-segment mode): oracle
+    equality including n_valid masking.  The flag-rule exactness argument
+    is width-independent; this pins the wider windows' triple extraction,
+    rescore row count (256/window), and final pool.  Interpret mode has
+    no Mosaic store-alignment constraint, so small p_tile keeps it
+    fast (the on-chip pin at N=301k is probes/probe_v4_segwidth.py
+    exact_sw256)."""
+    from haconvdr_tpu.ops.pallas_topk_v4 import pallas_topk_block_v4
+
+    Q, N, D, k = 128, 2048, 32, 10
+    q = rng.randn(Q, D).astype(np.float32)
+    p = rng.randn(N, D).astype(np.float32)
+    s, i = pallas_topk_block_v4(
+        jnp.asarray(q), jnp.asarray(p), N, k,
+        q_tile=64, p_tile=512, seg_width=256, budget=16, interpret=True,
+    )
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+    p2 = p.copy()
+    p2[1500:] *= 100.0  # padded rows would win if unmasked
+    s, i = pallas_topk_block_v4(
+        jnp.asarray(q), jnp.asarray(p2), 1500, k,
+        q_tile=64, p_tile=512, seg_width=256, budget=16, interpret=True,
+    )
+    rs, ri = exact_topk_oracle(jnp.asarray(q), jnp.asarray(p2[:1500]), k)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
