@@ -287,6 +287,14 @@ def _v4_search(
                 jax.ShapeDtypeStruct((Wp, QP), jnp.int32),
                 jax.ShapeDtypeStruct((Wp, QP), jnp.float32),
             ],
+            # f32 passages at (sw=256, p_tile=2048, q_panel=1024) sit at
+            # the 16 MB scoped-VMEM edge: the same shape compiles at
+            # 15.998M inside a scan-fused program but 16.21M as a direct
+            # call (XLA placed a panel output in VMEM) — 32 MB keeps the
+            # geometry placement-independent (v5e VMEM is 128 MB).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024
+            ),
             interpret=interpret,
         )(nv, panel, passages)
 
