@@ -492,6 +492,14 @@ def bench_e2e_batch(jax, jnp):
     idx_dtype = jnp.bfloat16 if use_bf16 else jnp.int8
     mcfg = ModelConfig(dtype="bfloat16")
     params = stack_layer_params(init_encoder_params(jax.random.PRNGKey(0), mcfg))
+    tower_int8 = bool(os.environ.get("BENCH_TOWER_INT8"))
+    if tower_int8:
+        # serve.Retriever(encoder_int8=True): int8 x int8 MXU tower
+        # weights — loses at B=1 (+0.4 ms fixed cost) but wins ~1.2x at
+        # B>=8 (probes/probe_encode_b1.py), so it's a batched-tier knob
+        from haconvdr_tpu.models.encoder import quantize_encoder_params
+
+        params = quantize_encoder_params(params)
 
     n_pad = -(-N_PASSAGES // 2048) * 2048
     if idx_dtype == jnp.int8:
@@ -522,7 +530,8 @@ def bench_e2e_batch(jax, jnp):
     qps = B / (batch_ms / 1000.0)
     return {
         "metric": "serve_e2e_batched_qps_B64_2.5M"
-        + ("_bf16" if use_bf16 else "_int8"),
+        + ("_bf16" if use_bf16 else "_int8")
+        + ("_toweri8" if tower_int8 else ""),
         "value": round(qps, 1),
         "unit": "QPS",
         "vs_baseline": round(qps / BASELINE_QPS, 2),

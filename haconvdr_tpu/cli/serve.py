@@ -63,6 +63,7 @@ def main(argv=None):
         ivf_nlist=s.ivf_nlist,
         ivf_nprobe=None if s.ivf_nprobe < 0 else s.ivf_nprobe,
         ivf_dir=s.ivf_dir or None,
+        encoder_int8=s.encoder_int8,
     )
     server = RetrievalServer(
         retriever,

@@ -270,6 +270,11 @@ class ServeConfig:
     ivf_nprobe: int = -1  # -1: library default
     ivf_dir: str = ""  # persist/reload the built IVF index
     store_dtype: str = "float32"  # residency dtype: float32|bfloat16|int8
+    # int8-weight query tower (serve.Retriever(encoder_int8=True)): the
+    # batched-tier knob — ~1.2x faster encode at batch >= 8 (measured
+    # e2e-batch 1,254 -> 1,514 QPS), ~0.4 ms SLOWER at B=1; quality
+    # drift is cos > 0.9999 per query (probes/probe_tower_int8_recall.py)
+    encoder_int8: bool = False
     checkpoint_path: str = ""  # trained query-encoder checkpoint
     embeddings_dir: str = ""  # EmbeddingBlockStore directory
     offset2pid_path: str = ""  # optional offset->pid map (pickle/json)

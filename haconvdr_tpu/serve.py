@@ -82,12 +82,26 @@ class Retriever:
         ivf_nlist: int = 1024,
         ivf_nprobe: Optional[int] = None,
         ivf_dir: Optional[str] = None,
+        encoder_int8: bool = False,
     ):
         self.tokenizer = tokenizer
         self.model_cfg = model_cfg
         self.data_cfg = data_cfg or DataConfig(is_train=False, use_PRL=False)
         self.search_cfg = search_cfg or SearchConfig()
         self.mesh = make_mesh()
+        if encoder_int8:
+            # int8 x int8 MXU query-tower weights (the serving-side
+            # analog of IndexConfig.compute_int8): measured ~1.2x faster
+            # forwards at batch >= 8 — the BatchingRetriever tier — but
+            # ~0.4 ms SLOWER at B=1 (per-op fixed costs dominate the
+            # B=1 forward; probes/probe_encode_b1.py), so leave it off
+            # for single-stream latency serving.  Quality: query
+            # embeddings drift cos > 0.9999 vs the bf16 tower; top-100
+            # overlap 0.994 on the worst-case rank-3.4 real-encoder
+            # manifold (probes/probe_tower_int8_recall.py).
+            from haconvdr_tpu.models.encoder import quantize_encoder_params
+
+            params = quantize_encoder_params(params)
         self.params = shard_params(self.mesh, params)
         self._encode = make_sharded_encode_fn(self.mesh, self.model_cfg)
         self.offset2pid = offset2pid

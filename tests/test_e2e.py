@@ -233,6 +233,18 @@ def test_retriever_serving_api(pipeline):
     )
     assert len(hits2) == 3
 
+    # encoder_int8: the batched-tier int8-weight query tower must serve
+    # the same exact-token top hit through the same index (the tower's
+    # quantization drift is far below the exact-match margin)
+    r8 = Retriever(
+        tok, params, mcfg, EmbeddingBlockStore(str(tmp / "embeds")),
+        offset2pid=corpus.offset2pid(),
+        data_cfg=r.data_cfg, search_cfg=r.search_cfg,
+        resident=True, encoder_int8=True,
+    )
+    hits8 = r8.retrieve(_passage_text(21))
+    assert hits8[0][0] == 21
+
 
 def test_build_test_examples_dataset_dispatch(pipeline, tmp_path):
     """retrieval.build_test_examples dispatches qrecc and cast datasets and
